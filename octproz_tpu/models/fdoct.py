@@ -1,0 +1,105 @@
+"""FdOctModel -- the flagship stateful wrapper around the functional pipeline.
+
+Plays the role of the reference's (OctAlgorithmParameters singleton +
+Processing controller) pair (octproz_project/octproz/src/
+octalgorithmparameters.h:46, processing.h:83): holds acquisition geometry,
+the static processing configuration, the current LUTs, and the carried FPN
+state, and exposes buffer/volume-level processing.  All compute goes through
+the jitted functional step (octproz_tpu.pipeline); this class only manages
+state and curve rebuilding (the analog of the reference's dirty-flag driven
+LUT uploads, cuda_code.cu:1432-1445 -- here a curve change is just a new
+traced array, no recompilation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import curves as curves_mod
+from .. import pipeline
+from ..params import AcqParams, Curves, FpnState, ProcConfig, WindowType
+
+
+class FdOctModel:
+    def __init__(
+        self,
+        acq: AcqParams,
+        cfg: ProcConfig,
+        resample_coeffs: Sequence[float] = (0.0, 0.0, 0.0, 0.0),
+        dispersion_coeffs: Sequence[float] = (0.0, 0.0, 0.0, 0.0),
+        window_type: WindowType = WindowType.HANNING,
+        window_center: float = 0.5,
+        window_fill_factor: float = 1.0,
+        custom_resample_curve: Optional[np.ndarray] = None,
+    ):
+        self.acq = acq
+        self.cfg = cfg
+        self._curve_kwargs = dict(
+            resample_coeffs=tuple(resample_coeffs),
+            dispersion_coeffs=tuple(dispersion_coeffs),
+            window_type=window_type,
+            window_center=window_center,
+            window_fill_factor=window_fill_factor,
+            custom_resample_curve=custom_resample_curve,
+        )
+        self.curves: Curves = curves_mod.make_curves(acq, cfg, **self._curve_kwargs)
+        self.fpn_state: FpnState = pipeline.initial_fpn_state(acq)
+        self._step = pipeline.make_step(acq, cfg)
+
+    # -- live re-tuning (reference: sidebar edits -> updateResampleCurve etc.,
+    #    octalgorithmparameters.cpp:141-249) ---------------------------------
+    def set_klin_coeffs(self, c0: float, c1: float, c2: float, c3: float) -> None:
+        self._curve_kwargs["resample_coeffs"] = (c0, c1, c2, c3)
+        self._curve_kwargs["custom_resample_curve"] = None
+        self._rebuild_curves()
+
+    def set_dispersion_coeffs(self, d0: float, d1: float, d2: float, d3: float) -> None:
+        self._curve_kwargs["dispersion_coeffs"] = (d0, d1, d2, d3)
+        self._rebuild_curves()
+
+    def set_window(self, window_type: WindowType, center: float = 0.5,
+                   fill_factor: float = 1.0) -> None:
+        self._curve_kwargs.update(window_type=window_type, window_center=center,
+                                  window_fill_factor=fill_factor)
+        self._rebuild_curves()
+
+    def set_custom_resample_curve(self, curve: np.ndarray) -> None:
+        self._curve_kwargs["custom_resample_curve"] = np.asarray(curve, np.float32)
+        self._rebuild_curves()
+
+    def set_post_background(self, background: np.ndarray) -> None:
+        self.curves = dataclasses.replace(
+            self.curves, post_background=jnp.asarray(background, jnp.float32))
+
+    def redetermine_fpn(self) -> None:
+        """Reference: redetermineFixedPatternNoise request (cuda_code.cu:1521)."""
+        self.fpn_state = pipeline.initial_fpn_state(self.acq)
+
+    def _rebuild_curves(self) -> None:
+        post_bg = self.curves.post_background
+        self.curves = curves_mod.make_curves(self.acq, self.cfg, **self._curve_kwargs)
+        if post_bg is not None:
+            self.curves = dataclasses.replace(self.curves, post_background=post_bg)
+
+    # -- processing ----------------------------------------------------------
+    def process_buffer(self, raw) -> jax.Array:
+        """raw uint (bscans, ascans, samples) -> float32 processed half-volume.
+
+        Updates the carried FPN state (async dispatch; no host sync)."""
+        raw = jnp.asarray(raw)
+        processed, self.fpn_state = self._step(raw, self.curves, self.fpn_state)
+        return processed
+
+    def process_volume(self, raw_volume) -> jax.Array:
+        """raw uint (buffers, bscans, ascans, samples) or a single buffer ->
+        float32 (total_bscans, ascans, samples//2)."""
+        raw_volume = jnp.asarray(raw_volume)
+        if raw_volume.ndim == 3:
+            return self.process_buffer(raw_volume)
+        outs = [self.process_buffer(raw_volume[i]) for i in range(raw_volume.shape[0])]
+        return jnp.concatenate(outs, axis=0)

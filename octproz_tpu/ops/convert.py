@@ -1,0 +1,60 @@
+"""Raw-sample decode: integer acquisition samples -> float32.
+
+Numerics match the reference's input conversion kernels
+(octproz_project/octproz/src/cuda_code.cu:109-147):
+
+* ``inputToCufftComplex``: plain unsigned-int -> float cast for 8/16/32-bit
+  containers (bit depth ranges <=8, 9..16, >16).
+* ``inputToCufftComplex_and_bitshift``: additionally right-shifts 16-bit
+  containers by 4 (12-bit samples in 16-bit words, e.g. ATS9373 digitizers,
+  docs/docs/processing.md:18); the 32-bit path divides by 2^32 instead.
+
+As a capability superset we also support unpacking 12-bit *packed* input
+(two samples per 3 bytes), which the reference enumerates but does not
+implement (octalgorithmparameters.h:69, docs/docs/faq.md:3-5).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def decode(raw: jnp.ndarray, bit_depth: int, bitshift: bool = False) -> jnp.ndarray:
+    """Decode an unsigned-integer sample array to float32 (same shape).
+
+    ``raw`` must already have the container dtype implied by ``bit_depth``
+    (uint8 / uint16 / uint32, see AcqParams.raw_dtype).
+    """
+    if bit_depth <= 8:
+        x = raw.astype(jnp.uint8)
+        if bitshift:
+            x = x >> 4
+        return x.astype(jnp.float32)
+    if bit_depth <= 16:
+        x = raw.astype(jnp.uint16)
+        if bitshift:
+            x = x >> 4
+        return x.astype(jnp.float32)
+    x = raw.astype(jnp.uint32)
+    if bitshift:
+        # cuda_code.cu:144 -- 32-bit bitshift path scales to [0, 1)
+        return x.astype(jnp.float32) / jnp.float32(4294967296.0)
+    return x.astype(jnp.float32)
+
+
+def unpack_uint12_packed(raw_bytes: np.ndarray, n_samples: int) -> np.ndarray:
+    """Unpack little-endian 12-bit packed samples (two per 3 bytes) -> uint16.
+
+    Host-side helper (numpy): packed layout is
+    ``[s0 low 8 | s1 low 4 + s0 high 4 | s1 high 8]`` per 3-byte group.
+    """
+    b = np.asarray(raw_bytes, dtype=np.uint8).reshape(-1)
+    n_groups = (n_samples + 1) // 2
+    b = b[: n_groups * 3].reshape(n_groups, 3).astype(np.uint16)
+    s0 = b[:, 0] | ((b[:, 1] & 0x0F) << 8)
+    s1 = (b[:, 1] >> 4) | (b[:, 2] << 4)
+    out = np.empty(n_groups * 2, dtype=np.uint16)
+    out[0::2] = s0
+    out[1::2] = s1
+    return out[:n_samples]

@@ -1,0 +1,75 @@
+"""Fixed-pattern-noise removal (minimum-variance mean A-line method,
+Moon et al. 2010).
+
+Numerics match the reference kernels
+(octproz_project/octproz/src/cuda_code.cu):
+
+* ``getMinimumVarianceMean`` (:523-565): split the first
+  ``bscans_for_noise * ascans_per_bscan`` post-IFFT A-scans into
+  FPN_SEGMENTS = 9 segments of ``height // 9`` consecutive lines
+  (octalgorithmparameters.h:35); per depth index, compute each segment's
+  complex mean and variance (E|z|^2 - |Ez|^2) and keep the mean of the
+  minimum-variance segment.
+* ``meanALineSubtraction`` (:567-584): subtract that complex mean from the
+  positive-depth (first) half of every A-scan; the mirror half is about to
+  be truncated anyway (cuda_code.cu:1526).
+
+TPU formulation: a reshape + two reductions + argmin-select -- all
+VPU-friendly, no atomics.  The per-depth statistics are also exposed as raw
+segment sums so the sharded pipeline can psum them across devices
+(see octproz_tpu.parallel.sharding).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..params import FPN_SEGMENTS
+
+
+def segment_sums(lines: jnp.ndarray, segments: int = FPN_SEGMENTS):
+    """Per-segment complex sums and power sums.
+
+    lines: complex64 (n_lines, width) -- post-IFFT A-scans (any width; the
+    pipeline passes the truncated positive-depth half, which yields results
+    identical to the reference's full-width kernel for the half it uses).
+
+    Returns (sum_z complex64 (segments, width), sum_sq float32 (segments, width),
+    seg_width int) where seg_width = n_lines // segments lines per segment
+    (trailing remainder lines are ignored, like the reference's integer
+    division cuda_code.cu:531).
+    """
+    n_lines, width = lines.shape
+    seg_width = max(n_lines // segments, 1)
+    used = lines[: segments * seg_width].reshape(segments, seg_width, width)
+    sum_z = jnp.sum(used, axis=1)
+    sum_sq = jnp.sum(used.real**2 + used.imag**2, axis=1)
+    return sum_z, sum_sq, seg_width
+
+
+def select_min_variance_mean(sum_z: jnp.ndarray, sum_sq: jnp.ndarray,
+                             seg_count) -> jnp.ndarray:
+    """Combine segment statistics into the minimum-variance mean line.
+
+    seg_count: scalar or per-segment line count (after any cross-device psum).
+    Returns complex64 (width,).
+    """
+    factor = 1.0 / jnp.asarray(seg_count, jnp.float32)
+    mean = sum_z * factor
+    variance = sum_sq * factor - (mean.real**2 + mean.imag**2)
+    best = jnp.argmin(variance, axis=0)  # (width,)
+    return jnp.take_along_axis(mean, best[None, :], axis=0)[0]
+
+
+def minimum_variance_mean(lines: jnp.ndarray, segments: int = FPN_SEGMENTS) -> jnp.ndarray:
+    """complex64 (n_lines, width) -> minimum-variance mean line (width,)."""
+    sum_z, sum_sq, seg_width = segment_sums(lines, segments)
+    return select_min_variance_mean(sum_z, sum_sq, seg_width)
+
+
+def subtract_mean_line(z_half: jnp.ndarray, mean_line_half: jnp.ndarray) -> jnp.ndarray:
+    """Subtract the mean line from every (already truncated) A-scan.
+
+    z_half: complex64 (..., width/2); mean_line_half: complex64 (width/2,).
+    """
+    return z_half - mean_line_half

@@ -1,0 +1,217 @@
+"""Sharded per-buffer processing over a TPU device mesh.
+
+The reference application is strictly single-GPU (SURVEY.md section 2.3); its
+intra-device concurrency is 8 rotating CUDA streams + a batched cuFFT plan
+(octproz_project/octproz/src/cuda_code.cu:42,1140,1396).  The TPU-native
+scale-out re-expresses the same workload over a 2-D ``jax.sharding.Mesh``:
+
+* ``AXIS_BSCAN`` ("volume parallelism", analog of data parallelism): B-scan
+  blocks of a buffer are distributed across devices.  Every per-A-scan stage
+  (decode, DC removal, resample matmul, window/phase, IFFT, scaling) is
+  embarrassingly parallel along this axis.
+* ``AXIS_ASCAN`` ("fast-axis parallelism", analog of sequence parallelism):
+  the A-scans *within* each B-scan are split across devices — useful for
+  streaming configurations with few B-scans per buffer.  Cross-shard
+  interactions along this axis are the sinusoidal scan correction (resampling
+  *between* A-scans, cuda_code.cu:491-514) and the bidirectional B-scan flip
+  (A-scan order reversal, cuda_code.cu:787-807).
+
+Cross-device communication (the part the reference has no equivalent of):
+
+* **Fixed-pattern-noise statistics** (cuda_code.cu:523-565) reduce over the
+  first ``bscans_for_noise`` B-scans, which span shards on both axes.  Each
+  shard computes per-segment complex sums and power sums for *its* lines via
+  a one-hot segment-membership matmul (an MXU op), and the partial sums are
+  combined with an explicit ``lax.psum`` over both mesh axes inside
+  ``shard_map``.  The minimum-variance selection then runs replicated.
+* **Geometric postprocessing** (B-scan flip, sinusoidal correction, post
+  background) runs *outside* ``shard_map`` on the GSPMD-partitioned global
+  array: the static gathers / axis reversals along the sharded fast axis are
+  partitioned by XLA, which inserts the boundary A-scan exchanges
+  (collective-permute) on ICI automatically.  The sinusoidal curve is static
+  per configuration, so the exchange pattern is fixed at compile time.
+
+Test strategy: tests/test_sharding.py runs this on an 8-device CPU mesh
+(``--xla_force_host_platform_device_count=8``) and asserts bit-parity with
+the single-device pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..params import AcqParams, Curves, FPN_SEGMENTS, FpnMode, FpnState, ProcConfig
+from .. import pipeline as _pipeline
+from ..ops import fpn as _fpn
+from ..ops import postprocess as _postprocess
+
+AXIS_BSCAN = "bscan"
+AXIS_ASCAN = "ascan"
+
+
+def make_mesh(
+    n_bscan_shards: Optional[int] = None,
+    n_ascan_shards: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (bscan, ascan) mesh.
+
+    Defaults to all local devices on the B-scan axis — the production layout
+    for volume streaming (one buffer's B-scan blocks spread over the slice).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_bscan_shards is None:
+        n_bscan_shards = len(devices) // n_ascan_shards
+    n = n_bscan_shards * n_ascan_shards
+    if n > len(devices):
+        raise ValueError(f"mesh {n_bscan_shards}x{n_ascan_shards} needs {n} devices, "
+                         f"have {len(devices)}")
+    dev_array = np.asarray(devices[:n]).reshape(n_bscan_shards, n_ascan_shards)
+    return Mesh(dev_array, (AXIS_BSCAN, AXIS_ASCAN))
+
+
+# ---------------------------------------------------------------------------
+# Sharded fixed-pattern-noise statistics
+# ---------------------------------------------------------------------------
+
+def _sharded_fpn_mean_line(z_half_local: jnp.ndarray, acq: AcqParams,
+                           cfg: ProcConfig) -> jnp.ndarray:
+    """Minimum-variance mean line from psum-combined per-shard statistics.
+
+    z_half_local: complex64 (B_loc, A_loc, depth) — this shard's block.
+    Numerics match getMinimumVarianceMean (cuda_code.cu:523-565): the first
+    ``n_noise = bscans_for_noise * ascans_per_bscan`` *global* lines are split
+    into FPN_SEGMENTS segments of ``n_noise // FPN_SEGMENTS`` consecutive
+    lines; per depth index the mean of the minimum-variance segment wins.
+    """
+    segs = FPN_SEGMENTS
+    b_loc, a_loc, depth = z_half_local.shape
+    ib = lax.axis_index(AXIS_BSCAN)
+    ia = lax.axis_index(AXIS_ASCAN)
+
+    # Global (buffer-order) line index of every local line: lines are B-scan
+    # major, A-scan minor — the reference's flat buffer order.
+    b_glob = ib * b_loc + jnp.arange(b_loc, dtype=jnp.int32)
+    a_glob = ia * a_loc + jnp.arange(a_loc, dtype=jnp.int32)
+    g = (b_glob[:, None] * jnp.int32(acq.ascans_per_bscan) + a_glob[None, :]).reshape(-1)
+
+    n_noise = min(cfg.bscans_for_noise, acq.bscans_per_buffer) * acq.ascans_per_bscan
+    seg_width = max(n_noise // segs, 1)
+
+    seg_id = g // jnp.int32(seg_width)
+    valid = g < jnp.int32(segs * seg_width)
+    onehot = ((seg_id[None, :] == jnp.arange(segs, dtype=jnp.int32)[:, None])
+              & valid[None, :]).astype(jnp.float32)          # (segs, L_loc)
+
+    lines = z_half_local.reshape(-1, depth)                   # (L_loc, depth)
+    sum_re = onehot @ lines.real
+    sum_im = onehot @ lines.imag
+    sum_sq = onehot @ (lines.real ** 2 + lines.imag ** 2)     # (segs, depth)
+
+    sum_re, sum_im, sum_sq = lax.psum(
+        (sum_re, sum_im, sum_sq), (AXIS_BSCAN, AXIS_ASCAN))
+
+    factor = jnp.float32(1.0 / seg_width)
+    mean_re = sum_re * factor
+    mean_im = sum_im * factor
+    variance = sum_sq * factor - (mean_re ** 2 + mean_im ** 2)
+    best = jnp.argmin(variance, axis=0)                        # (depth,)
+    take = lambda m: jnp.take_along_axis(m, best[None, :], axis=0)[0]
+    return take(mean_re) + 1j * take(mean_im)
+
+
+# ---------------------------------------------------------------------------
+# Sharded step
+# ---------------------------------------------------------------------------
+
+def _core_local(raw_local: jnp.ndarray, curves: Curves, fpn_state: FpnState,
+                acq: AcqParams, cfg: ProcConfig) -> Tuple[jnp.ndarray, FpnState]:
+    """Per-shard slice of the pipeline: decode .. log scaling (shard_map body).
+
+    Unlike the single-device path (pipeline.apply_fpn), the FPN statistics are
+    computed unconditionally and the reuse decision is a ``where``-select:
+    collectives must run uniformly across the mesh, so we avoid putting the
+    psum inside a ``lax.cond`` branch.  The redundant statistics matmul after
+    determination is negligible next to the FFT.
+    """
+    half = acq.output_ascan_length
+    spectra = _pipeline.prep_spectra(raw_local, curves, acq, cfg)
+    z_half = _pipeline.transform_to_depth(spectra, half)
+
+    if cfg.fpn_mode != FpnMode.OFF:
+        computed = _sharded_fpn_mean_line(z_half, acq, cfg)
+        if cfg.fpn_mode == FpnMode.CONTINUOUS:
+            mean_line = computed
+        else:  # ONCE (cuda_code.cu:1521-1524)
+            mean_line = jnp.where(fpn_state.determined, fpn_state.mean_line, computed)
+        fpn_state = FpnState(mean_line=mean_line, determined=jnp.ones((), jnp.bool_))
+        z_half = _fpn.subtract_mean_line(z_half, mean_line)
+
+    if cfg.log_scaling:
+        mag = _postprocess.scale_log(z_half, half, cfg.grayscale_min,
+                                     cfg.grayscale_max, cfg.addend, cfg.multiplicator)
+    else:
+        mag = _postprocess.scale_lin(z_half, half, cfg.grayscale_min,
+                                     cfg.grayscale_max, cfg.addend, cfg.multiplicator)
+    return mag, fpn_state
+
+
+def sharded_process_buffer(
+    raw: jnp.ndarray,
+    curves: Curves,
+    fpn_state: FpnState,
+    acq: AcqParams,
+    cfg: ProcConfig,
+    mesh: Mesh,
+) -> Tuple[jnp.ndarray, FpnState]:
+    """Sharded analog of pipeline.process_buffer.
+
+    raw: uint (bscans, ascans, samples), sharded (AXIS_BSCAN, AXIS_ASCAN, -).
+    Returns (float32 (bscans, ascans, samples//2) with the same sharding,
+    replicated FpnState).
+    """
+    core = functools.partial(_core_local, acq=acq, cfg=cfg)
+    mag, fpn_state = jax.shard_map(
+        core,
+        mesh=mesh,
+        in_specs=(P(AXIS_BSCAN, AXIS_ASCAN, None), P(), P()),
+        out_specs=(P(AXIS_BSCAN, AXIS_ASCAN, None), P()),
+        check_vma=False,
+    )(raw, curves, fpn_state)
+
+    # Geometric postprocessing on the global (GSPMD-partitioned) array: the
+    # A-scan-axis reversal and the static sinusoidal gather cross shard
+    # boundaries on AXIS_ASCAN; XLA partitions them and inserts the boundary
+    # exchange collectives.
+    mag = lax.with_sharding_constraint(
+        mag, NamedSharding(mesh, P(AXIS_BSCAN, AXIS_ASCAN, None)))
+    mag = _pipeline.postprocess_volume(mag, curves, cfg)
+    return mag, fpn_state
+
+
+@functools.lru_cache(maxsize=32)
+def make_sharded_step(acq: AcqParams, cfg: ProcConfig, mesh: Mesh,
+                      donate_raw: bool = False):
+    """Jit-compiled sharded per-buffer step for a static (acq, cfg, mesh).
+
+    Returns ``step(raw, curves, fpn_state) -> (processed, fpn_state)`` with
+    committed input/output shardings: raw and the processed volume block-
+    sharded over (bscan, ascan), curves and FPN state replicated.
+    """
+    sharded = NamedSharding(mesh, P(AXIS_BSCAN, AXIS_ASCAN, None))
+    replicated = NamedSharding(mesh, P())
+
+    fn = functools.partial(sharded_process_buffer, acq=acq, cfg=cfg, mesh=mesh)
+    return jax.jit(
+        fn,
+        in_shardings=(sharded, replicated, replicated),
+        out_shardings=(sharded, replicated),
+        donate_argnums=(0,) if donate_raw else (),
+    )

@@ -1,0 +1,159 @@
+"""The per-buffer FD-OCT reconstruction step.
+
+Functional, jit-compiled equivalent of the reference's GPU hot loop
+``octCudaPipeline`` (octproz_project/octproz/src/cuda_code.cu:1389-1605).
+Stage order (matching the reference exactly):
+
+  1. decode raw integers (+ optional >>4 bitshift)      cuda_code.cu:1408-1414
+  2. rolling-average DC background removal [opt]        cuda_code.cu:1422-1429
+  3. k-linearization x window x dispersion phase [opt]  cuda_code.cu:1447-1511
+  4. batched unnormalized inverse FFT                   cuda_code.cu:1513-1515
+  5. fixed-pattern-noise removal [opt]                  cuda_code.cu:1517-1527
+  6. mirror-artifact truncation + log/lin scaling       cuda_code.cu:1537-1543
+  7. B-scan flip [opt]                                  cuda_code.cu:1545-1548
+  8. sinusoidal scan correction [opt]                   cuda_code.cu:1550-1554
+  9. post-process background removal [opt]              cuda_code.cu:1556-1568
+
+Differences by design (TPU-first, not a port):
+
+* The reference dispatches one of ~12 pre-fused CUDA kernels per flag
+  combination at runtime; here the flags are *static* fields of
+  :class:`~octproz_tpu.params.ProcConfig`, so tracing resolves the dispatch
+  once and XLA fuses the surviving ops (resampling runs as an MXU matmul with
+  window/phase fused into its epilogue).
+* cuFFT's in-place C2C inverse becomes XLA's batched FFT; when no dispersion
+  phasor is applied the spectra are still real and the RFFT identity halves
+  the FFT work (see octproz_tpu.ops.fft).
+* The FPN mean line is explicit carried state (:class:`FpnState`) instead of
+  a device global + host flag (cuda_code.cu:105,1521-1524).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .params import AcqParams, Curves, FpnMode, FpnState, ProcConfig
+from .ops import background, convert, dispersion, fft, fpn, postprocess, resample
+
+
+def prep_spectra(raw: jnp.ndarray, curves: Curves, acq: AcqParams,
+                 cfg: ProcConfig) -> jnp.ndarray:
+    """Stages 1-3: decode -> DC removal -> resample x window x phase.
+
+    raw: uint (bscans, ascans, samples).  Returns float32 (real path) or
+    complex64 (dispersion path), shape (bscans, ascans, samples).
+    """
+    x = convert.decode(raw, acq.bit_depth, cfg.bitshift)
+
+    if cfg.background_removal:
+        x = background.remove_background(x, cfg.rolling_average_window)
+
+    if cfg.resampling:
+        if cfg.resample_via_matmul:
+            compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+            x = resample.apply_matmul(x, curves.resample_matrix, compute_dtype)
+        else:
+            x = resample.apply_gather(x, curves.resample_curve, cfg.interpolation)
+
+    return dispersion.prep_spectra(
+        x,
+        curves.window if cfg.windowing else None,
+        curves.phase if cfg.dispersion else None,
+    )
+
+
+def transform_to_depth(spectra: jnp.ndarray, half: int) -> jnp.ndarray:
+    """Stage 4 + truncation: IFFT and keep the positive-depth half.
+
+    Uses the half-spectrum RFFT path when the spectra are still real.
+    Returns complex64 (bscans, ascans, half).
+    """
+    if jnp.issubdtype(spectra.dtype, jnp.complexfloating):
+        return postprocess.truncate_half(fft.ifft_spectra(spectra))
+    return fft.ifft_spectra_real_half(spectra, half)
+
+
+def apply_fpn(z_half: jnp.ndarray, state: FpnState, acq: AcqParams,
+              cfg: ProcConfig) -> Tuple[jnp.ndarray, FpnState]:
+    """Stage 5: fixed-pattern-noise removal with carried mean-line state.
+
+    The statistics use the first ``bscans_for_noise * ascans_per_bscan``
+    A-scans of the buffer (cuda_code.cu:1519-1522); we compute them on the
+    truncated half, which is exactly the part the subtraction consumes.
+    """
+    n_noise_lines = min(cfg.bscans_for_noise, acq.bscans_per_buffer) * acq.ascans_per_bscan
+    lines = z_half.reshape(-1, z_half.shape[-1])[:n_noise_lines]
+
+    if cfg.fpn_mode == FpnMode.CONTINUOUS:
+        mean_line = fpn.minimum_variance_mean(lines)
+        new_state = FpnState(mean_line=mean_line, determined=jnp.ones((), jnp.bool_))
+    else:  # ONCE: reuse once determined (cuda_code.cu:1521-1524)
+        mean_line = jax.lax.cond(
+            state.determined,
+            lambda: state.mean_line,
+            lambda: fpn.minimum_variance_mean(lines),
+        )
+        new_state = FpnState(mean_line=mean_line, determined=jnp.ones((), jnp.bool_))
+    return fpn.subtract_mean_line(z_half, mean_line), new_state
+
+
+def postprocess_volume(mag: jnp.ndarray, curves: Curves, cfg: ProcConfig) -> jnp.ndarray:
+    """Stages 7-9 on the scaled magnitude volume (bscans, ascans, depth)."""
+    if cfg.bscan_flip:
+        mag = postprocess.bscan_flip(mag)
+    if cfg.sinusoidal_correction:
+        mag = postprocess.sinusoidal_correction(mag, curves.sinusoidal_curve)
+    if cfg.post_background_removal:
+        mag = postprocess.remove_post_background(
+            mag, curves.post_background,
+            cfg.post_background_weight, cfg.post_background_offset)
+    return mag
+
+
+def process_buffer(
+    raw: jnp.ndarray,
+    curves: Curves,
+    fpn_state: FpnState,
+    acq: AcqParams,
+    cfg: ProcConfig,
+) -> Tuple[jnp.ndarray, FpnState]:
+    """Full per-buffer step: raw uint (bscans, ascans, samples) ->
+    (processed float32 (bscans, ascans, samples//2), new FPN state)."""
+    half = acq.output_ascan_length
+
+    spectra = prep_spectra(raw, curves, acq, cfg)
+    z_half = transform_to_depth(spectra, half)
+
+    if cfg.fpn_mode != FpnMode.OFF:
+        z_half, fpn_state = apply_fpn(z_half, fpn_state, acq, cfg)
+
+    if cfg.log_scaling:
+        mag = postprocess.scale_log(z_half, half, cfg.grayscale_min,
+                                    cfg.grayscale_max, cfg.addend, cfg.multiplicator)
+    else:
+        mag = postprocess.scale_lin(z_half, half, cfg.grayscale_min,
+                                    cfg.grayscale_max, cfg.addend, cfg.multiplicator)
+
+    return postprocess_volume(mag, curves, cfg), fpn_state
+
+
+@functools.lru_cache(maxsize=64)
+def make_step(acq: AcqParams, cfg: ProcConfig, donate_raw: bool = False):
+    """Build the jitted per-buffer step for a static (acq, cfg) pair.
+
+    Returns ``step(raw, curves, fpn_state) -> (processed, fpn_state)``.
+    One executable per configuration -- the compile-cache analog of the
+    reference's kernel dispatch table.
+    """
+    fn = functools.partial(process_buffer, acq=acq, cfg=cfg)
+    donate = (0,) if donate_raw else ()
+    return jax.jit(fn, donate_argnums=donate)
+
+
+def initial_fpn_state(acq: AcqParams) -> FpnState:
+    """FPN state sized for the truncated (positive-depth) half."""
+    return FpnState.initial(acq.output_ascan_length)
