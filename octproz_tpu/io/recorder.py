@@ -110,6 +110,7 @@ def write_meta(path_prefix: str, acq, cfg, rec_params: RecordingParams,
     if extra:
         meta.update(extra)
     path = path_prefix + "_meta.json"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         json.dump(meta, f, indent=2)
     return path

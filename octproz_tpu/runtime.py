@@ -1,0 +1,309 @@
+"""Streaming runtime: the host loop that drives acquisition -> device ->
+subscribers at line rate.
+
+Capability-equivalent of the reference's ``Processing`` controller
+(octproz_project/octproz/src/processing.cpp:136-229 hot loop), its
+GPU->host streaming ring (cuda_code.cu:1357-1386, processing.cpp:316-365)
+and the ``Gpu2HostNotifier`` callback bridge (src/gpu2hostnotifier.cpp:75-96)
+-- re-expressed TPU-first:
+
+* The reference overlaps copy/compute with 8 rotating CUDA streams plus a
+  blocking event that stops acquisition outpacing processing
+  (cuda_code.cu:42,1396,1416-1420).  Here, JAX's async dispatch pipelines
+  H2D copy, compute and D2H fetch automatically; the runtime keeps at most
+  ``max_in_flight`` un-fetched steps outstanding (the back-pressure analog of
+  that blocking event) and a background prefetch thread keeps the host-side
+  feed ahead of the device (the analog of the acquisition double buffer,
+  acquisitionbuffer.h:53-58).
+* GPU->host streaming decimation: every ``streaming_skip + 1``-th processed
+  buffer is quantized on device (ops.quantize ~ floatToOutput,
+  cuda_code.cu:943-967) and fetched, mirroring
+  ``streamingBuffersToSkip`` (octalgorithmparameters.h:189-192).
+* Throughput metrics over 5 s windows: volumes/s, buffers/s, B-scans/s,
+  A-scans/s, MB/s -- same numbers as the reference's info box
+  (processing.cpp:193-207).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .io.recorder import Recorder, RecordingParams, write_meta
+from .io.source import AcquisitionSource
+from .models.fdoct import FdOctModel
+from .ops import quantize as quantize_mod
+from .plugins import ExtensionManager
+
+
+@dataclasses.dataclass
+class ThroughputStats:
+    """One 5-second metrics window (processing.cpp:198-204)."""
+
+    buffers_per_s: float = 0.0
+    bscans_per_s: float = 0.0
+    ascans_per_s: float = 0.0
+    volumes_per_s: float = 0.0
+    mb_per_s: float = 0.0
+    buffer_mb: float = 0.0
+    buffers_processed: int = 0
+
+    def info_line(self) -> str:
+        return (f"{self.volumes_per_s:.1f} volumes/s, "
+                f"{self.buffers_per_s:.0f} buffers/s ({self.buffer_mb:.1f} MB), "
+                f"{self.bscans_per_s:.0f} B-scans/s, "
+                f"{self.ascans_per_s / 1e3:.0f} kHz A-scans, "
+                f"{self.mb_per_s:.0f} MB/s")
+
+
+class ThroughputMeter:
+    """Windowed throughput counter (reference: 5 s info-box updates)."""
+
+    def __init__(self, acq, window_s: float = 5.0):
+        self._acq = acq
+        self._window_s = window_s
+        self._count = 0
+        self._t0: Optional[float] = None
+        self.total_buffers = 0
+        self.last: Optional[ThroughputStats] = None
+
+    def tick(self, now: Optional[float] = None) -> Optional[ThroughputStats]:
+        """Count one processed buffer; returns stats when a window closes."""
+        now = time.perf_counter() if now is None else now
+        if self._t0 is None:
+            self._t0 = now
+        self._count += 1
+        self.total_buffers += 1
+        dt = now - self._t0
+        if dt < self._window_s:
+            return None
+        acq = self._acq
+        bps = self._count / dt
+        buffer_mb = acq.bytes_per_buffer / 1e6
+        stats = ThroughputStats(
+            buffers_per_s=bps,
+            bscans_per_s=bps * acq.bscans_per_buffer,
+            ascans_per_s=bps * acq.ascans_per_buffer,
+            volumes_per_s=bps / max(acq.buffers_per_volume, 1),
+            mb_per_s=bps * buffer_mb,
+            buffer_mb=buffer_mb,
+            buffers_processed=self.total_buffers,
+        )
+        self._count = 0
+        self._t0 = now
+        self.last = stats
+        return stats
+
+
+class _Prefetcher:
+    """Background thread that keeps a bounded queue of raw host buffers ahead
+    of the device step -- the acquisition-thread / double-buffer analog
+    (virtualoctsystem.cpp:196-223, acquisitionbuffer.h:53-58).  The bounded
+    queue IS the back-pressure handshake: when processing falls behind, the
+    producer blocks exactly like the reference's spin-wait on
+    ``bufferReadyArray``."""
+
+    _SENTINEL = object()
+
+    def __init__(self, source: AcquisitionSource, depth: int = 2):
+        self._source = source
+        self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="octproz-acquisition")
+        self.error: Optional[BaseException] = None
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def _run(self) -> None:
+        try:
+            for buf in self._source.buffers():
+                if self._stop.is_set():
+                    break
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(buf, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # propagate into the consumer
+            self.error = e
+        finally:
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(self._SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def get(self, timeout: float = 10.0) -> Optional[np.ndarray]:
+        """Next raw buffer, or None when the source is exhausted/stopped."""
+        try:
+            item = self._queue.get(timeout=timeout)
+        except queue.Empty:
+            return None
+        if item is self._SENTINEL:
+            if self.error is not None:
+                raise self.error
+            return None
+        return item
+
+    def stop(self) -> None:
+        self._stop.set()
+        # drain so the producer unblocks
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+
+
+class StreamingEngine:
+    """The acquisition->processing->subscribers loop.
+
+    Composition (mirrors octprozapp.cpp:25-59 object graph):
+      source     -> raw feed   -> raw recorder + extensions (raw)
+                 -> device step (FdOctModel)
+                 -> decimated quantized host fetch -> processed recorder,
+                    extensions (processed), on_processed callbacks
+    """
+
+    def __init__(
+        self,
+        model: FdOctModel,
+        source: AcquisitionSource,
+        extensions: Optional[ExtensionManager] = None,
+        stream_to_host: bool = False,
+        streaming_skip: int = 0,
+        streaming_bit_depth: Optional[int] = None,
+        max_in_flight: int = 2,
+        prefetch_depth: int = 2,
+        metrics_window_s: float = 5.0,
+        on_metrics: Optional[Callable[[ThroughputStats], None]] = None,
+        on_processed: Optional[Callable[[np.ndarray, int], None]] = None,
+        on_info: Optional[Callable[[str], None]] = None,
+    ):
+        self.model = model
+        self.source = source
+        self.extensions = extensions or ExtensionManager()
+        self.stream_to_host = stream_to_host
+        self.streaming_skip = streaming_skip
+        self.streaming_bit_depth = streaming_bit_depth or model.acq.bit_depth
+        self.max_in_flight = max(1, max_in_flight)
+        self.prefetch_depth = prefetch_depth
+        self.on_metrics = on_metrics
+        self.on_processed = on_processed
+        self.on_info = on_info or (lambda msg: None)
+
+        self.raw_recorder = Recorder("raw")
+        self.processed_recorder = Recorder("processed")
+        self.meter = ThroughputMeter(model.acq, metrics_window_s)
+        self.running = False
+        self._stop_requested = threading.Event()
+        self._quantize = jax.jit(
+            lambda x: quantize_mod.quantize(x, self.streaming_bit_depth))
+
+    # -- recording (octprozapp.cpp:215-299 / processing.cpp:231-267) --------
+    def start_recording(self, params: RecordingParams) -> None:
+        ts = time.strftime("%Y%m%d_%H%M%S")
+        if params.save_raw:
+            self.raw_recorder.start(params, ts)
+        if params.save_processed:
+            self.processed_recorder.start(params, ts)
+        if params.save_meta:
+            import os
+            write_meta(os.path.join(params.save_dir, f"{ts}_{params.name}"),
+                       self.model.acq, self.model.cfg, params)
+        self.on_info(f"recording started: {params.name}")
+
+    @property
+    def recording(self) -> bool:
+        return self.raw_recorder.recording or self.processed_recorder.recording
+
+    def stop(self) -> None:
+        """Request the run loop to exit (octprozapp.cpp slot_stop analog)."""
+        self._stop_requested.set()
+
+    # -- the hot loop (processing.cpp:176-218) ------------------------------
+    def run(self, max_buffers: Optional[int] = None) -> int:
+        """Drive the stream until the source ends, ``max_buffers`` is hit, or
+        :meth:`stop` is called.  Returns the number of buffers processed."""
+        acq = self.model.acq
+        bufs_per_vol = max(acq.buffers_per_volume, 1)
+        want_raw_fanout = any(
+            e.active and e.wants_raw_data for e in self.extensions.extensions.values())
+
+        prefetcher = _Prefetcher(self.source, self.prefetch_depth)
+        prefetcher.start()
+        self._stop_requested.clear()
+        self.running = True
+
+        # In-flight device results awaiting decimated host fetch:
+        # list of (buffer_nr, device_array or None).  Length <= max_in_flight
+        # -- the back-pressure analog of the blocking CUDA event
+        # (cuda_code.cu:1416-1420).
+        in_flight: List[tuple] = []
+        processed_count = 0
+        try:
+            while not self._stop_requested.is_set():
+                if max_buffers is not None and processed_count >= max_buffers:
+                    break
+                raw = prefetcher.get()
+                if raw is None:
+                    break
+                buffer_nr = processed_count % bufs_per_vol
+
+                # raw-side subscribers get the host buffer before upload
+                # (processing.cpp:182 emit rawData)
+                if self.raw_recorder.recording:
+                    self.raw_recorder.record_buffer(raw, buffer_nr)
+                if want_raw_fanout:
+                    self.extensions.feed_raw(np.asarray(raw), acq, buffer_nr)
+
+                processed = self.model.process_buffer(raw)  # async dispatch
+
+                fetch = (self.stream_to_host
+                         and processed_count % (self.streaming_skip + 1) == 0)
+                if fetch:
+                    in_flight.append((buffer_nr, self._quantize(processed)))
+                else:
+                    in_flight.append((buffer_nr, None))
+
+                if len(in_flight) > self.max_in_flight:
+                    self._drain_one(in_flight)
+
+                processed_count += 1
+                stats = self.meter.tick()
+                if stats is not None:
+                    self.on_info(stats.info_line())
+                    if self.on_metrics:
+                        self.on_metrics(stats)
+
+            while in_flight:
+                self._drain_one(in_flight)
+            # make the final dispatched step's completion observable
+            jax.block_until_ready(self.model.fpn_state.mean_line)
+        finally:
+            self.running = False
+            prefetcher.stop()
+        return processed_count
+
+    def _drain_one(self, in_flight: List[tuple]) -> None:
+        buffer_nr, dev = in_flight.pop(0)
+        if dev is None:
+            return
+        host = np.asarray(dev)  # D2H fetch (the gpu2hostnotifier moment)
+        if self.processed_recorder.recording:
+            self.processed_recorder.record_buffer(host, buffer_nr)
+        self.extensions.feed_processed(host, self.model.acq,
+                                       self.streaming_bit_depth, buffer_nr)
+        if self.on_processed:
+            self.on_processed(host, buffer_nr)

@@ -1,0 +1,143 @@
+"""Streaming runtime tests: prefetch/back-pressure loop, decimated host
+streaming, recorder wiring, extension fan-out, metrics.
+
+Reference behaviors mirrored: Processing hot loop (processing.cpp:176-218),
+streamingBuffersToSkip decimation (octalgorithmparameters.h:189-192),
+raw/processed recorders (processing.cpp:231-267)."""
+
+import dataclasses
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from octproz_tpu import AcqParams, FpnMode, ProcConfig, Interpolation
+from octproz_tpu.io.recorder import RecordingParams
+from octproz_tpu.io.source import SyntheticSource
+from octproz_tpu.models.fdoct import FdOctModel
+from octproz_tpu.plugins import Extension, ExtensionManager
+from octproz_tpu.runtime import StreamingEngine, ThroughputMeter
+
+
+ACQ = AcqParams(samples_per_line=64, ascans_per_bscan=16, bscans_per_buffer=4,
+                buffers_per_volume=2, bit_depth=12)
+CFG = ProcConfig(resampling=True, interpolation=Interpolation.LINEAR,
+                 windowing=True, dispersion=False, fpn_mode=FpnMode.OFF,
+                 log_scaling=True)
+
+
+def make_engine(tmp_path=None, n_buffers=6, **kw):
+    model = FdOctModel(ACQ, CFG, resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 0.0, 0.0))
+    source = SyntheticSource(ACQ, n_buffers=n_buffers)
+    return StreamingEngine(model, source, **kw)
+
+
+class CollectingExtension(Extension):
+    name = "collector"
+    wants_raw_data = True
+    wants_processed_data = True
+
+    def __init__(self):
+        super().__init__()
+        self.raw_calls = []
+        self.processed_calls = []
+
+    def raw_data_received(self, buffer, bit_depth, spl, apb, bpb, bpv, nr):
+        self.raw_calls.append((buffer.shape, bit_depth, nr))
+
+    def processed_data_received(self, buffer, bit_depth, spl, apb, bpb, bpv, nr):
+        self.processed_calls.append((buffer.copy(), bit_depth, nr))
+
+
+def test_run_processes_all_buffers():
+    eng = make_engine(n_buffers=6)
+    assert eng.run() == 6
+    assert not eng.running
+
+
+def test_max_buffers_limit_and_stop():
+    eng = make_engine(n_buffers=None)  # endless source
+    assert eng.run(max_buffers=5) == 5
+
+
+def test_streaming_decimation_and_quantization():
+    got = []
+    eng = make_engine(n_buffers=8, stream_to_host=True, streaming_skip=1,
+                      on_processed=lambda buf, nr: got.append((buf, nr)))
+    eng.run()
+    # skip=1 -> every 2nd buffer fetched (octalgorithmparameters.h:189-192)
+    assert len(got) == 4
+    buf, _ = got[0]
+    assert buf.dtype == np.uint16  # 12-bit -> uint16 container
+    assert buf.shape == ACQ.processed_buffer_shape
+    assert buf.max() <= 4095
+
+
+def test_extension_fanout_and_buffer_nr_wraps():
+    ext = CollectingExtension()
+    mgr = ExtensionManager()
+    mgr.add(ext)
+    mgr.activate("collector")
+    eng = make_engine(n_buffers=4, extensions=mgr, stream_to_host=True)
+    eng.run()
+    assert len(ext.raw_calls) == 4
+    assert [nr for _, _, nr in ext.raw_calls] == [0, 1, 0, 1]  # buffers_per_volume=2
+    assert len(ext.processed_calls) == 4
+
+
+def test_inactive_extension_not_fed():
+    ext = CollectingExtension()
+    mgr = ExtensionManager()
+    mgr.add(ext)  # never activated
+    eng = make_engine(n_buffers=3, extensions=mgr, stream_to_host=True)
+    eng.run()
+    assert ext.raw_calls == [] and ext.processed_calls == []
+
+
+def test_recording_raw_and_processed(tmp_path):
+    eng = make_engine(n_buffers=6, stream_to_host=True)
+    params = RecordingParams(save_dir=str(tmp_path), name="t",
+                             buffers_to_record=2, save_raw=True,
+                             save_processed=True, save_meta=True)
+    eng.start_recording(params)
+    eng.run()
+    raws = glob.glob(str(tmp_path / "*_raw_*.raw"))
+    procs = glob.glob(str(tmp_path / "*_processed_*.raw"))
+    metas = glob.glob(str(tmp_path / "*_meta.json"))
+    assert len(raws) == 1 and len(procs) == 1 and len(metas) == 1
+    raw_data = np.fromfile(raws[0], dtype=np.uint16)
+    assert raw_data.size == 2 * ACQ.samples_per_buffer
+    proc_data = np.fromfile(procs[0], dtype=np.uint16)
+    assert proc_data.size == 2 * ACQ.ascans_per_buffer * ACQ.output_ascan_length
+
+
+def test_source_error_propagates():
+    class BadSource:
+        acq = ACQ
+
+        def buffers(self):
+            yield np.zeros(ACQ.buffer_shape, np.uint16)
+            raise IOError("acquisition hardware vanished")
+
+    model = FdOctModel(ACQ, CFG, resample_coeffs=(0.0, 63.0, 0.0, 0.0))
+    eng = StreamingEngine(model, BadSource())
+    with pytest.raises(IOError, match="vanished"):
+        eng.run()
+
+
+def test_throughput_meter_window():
+    meter = ThroughputMeter(ACQ, window_s=5.0)
+    t = 100.0
+    closed = []
+    for i in range(10):
+        out = meter.tick(now=t)
+        if out is not None:
+            closed.append(out)
+        t += 1.0
+    assert len(closed) == 1  # one 5 s window closed within 10 ticks
+    out = closed[0]
+    assert out.buffers_per_s == pytest.approx(6 / 5.0, rel=0.2)
+    assert out.ascans_per_s == pytest.approx(out.buffers_per_s * ACQ.ascans_per_buffer)
+    assert out.volumes_per_s == pytest.approx(out.buffers_per_s / 2)
+    assert meter.total_buffers == 10
