@@ -267,13 +267,19 @@ def make_curves(
     import jax.numpy as jnp
 
     n = acq.samples_per_line
-    rc = rm = win = phase = sin_curve = post_bg = None
+    rc = rm = win = phase = sin_curve = post_bg = prep_op = None
+    rm_np = win_np = None
     if cfg.resampling:
         rc_np = resample_curve(acq, *resample_coeffs, custom=custom_resample_curve)
         rc = jnp.asarray(rc_np)
-        rm = jnp.asarray(build_resample_matrix(rc_np, cfg.interpolation))
+        rm_np = build_resample_matrix(rc_np, cfg.interpolation)
+        rm = jnp.asarray(rm_np)
     if cfg.windowing:
-        win = jnp.asarray(window_curve(window_type, n, window_center, window_fill_factor))
+        win_np = window_curve(window_type, n, window_center, window_fill_factor)
+        win = jnp.asarray(win_np)
+    if cfg.use_pallas_prep:
+        from .pallas.fused_prep import build_prep_operator
+        prep_op = jnp.asarray(build_prep_operator(acq, cfg, rm_np, win_np))
     if cfg.dispersion:
         phase = jnp.asarray(dispersion_phase(acq, *dispersion_coeffs))
     if cfg.sinusoidal_correction:
@@ -286,6 +292,7 @@ def make_curves(
     return Curves(
         resample_curve=rc,
         resample_matrix=rm,
+        prep_operator=prep_op,
         window=win,
         phase=phase,
         sinusoidal_curve=sin_curve,

@@ -1,0 +1,193 @@
+"""Fused spectrum preparation: decode x background x resample x window x
+dispersion phase in a single VMEM pass.
+
+This is the TPU-native answer to the reference's triple-fused CUDA kernels
+``klinearization{,Cubic,Lanczos}AndWindowingAndDispersionCompensation``
+(octproz_project/octproz/src/cuda_code.cu:413-489), which its paper calls out
+as the key performance trick (paper/paper.md:52).  Instead of translating the
+per-sample gather code, we exploit that every pre-FFT stage is a *linear*
+operator on each A-scan whose coefficients depend only on the intra-line
+index:
+
+  decode        d = float(raw)            (elementwise)
+  background    b = (I - M) d             M = rolling-mean band matrix
+                                          (cuda_code.cu:165-211)
+  k-linearize   r = R b                   R = interpolation band matrix
+                                          (cuda_code.cu:213-326)
+  window        w = diag(win) r           (cuda_code.cu:328-339)
+  dispersion    z = w * (cos phi, sin phi)  (cuda_code.cu:609-622)
+
+so the whole chain is ``z = (W_op @ d) * phasor`` with
+``W_op = diag(win) R (I - M)`` precomputed once per curve update (host
+numpy, the analog of the reference's LUT uploads cuda_code.cu:636-657).
+At runtime a single Pallas kernel per block of A-scan lines does:
+
+  uint -> f32 decode (VPU) -> one (TILE_L, n_in) x (n_in, n_out) GEMM (MXU)
+  -> phasor epilogue (VPU) -> planar re/im writes
+
+One matmul per line replaces the reference's five memory-bound passes; the
+raw integers are read from HBM exactly once and nothing intermediate ever
+leaves VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.background import rolling_average_indices
+from ..params import AcqParams, ProcConfig
+
+
+def build_prep_operator(
+    acq: AcqParams,
+    cfg: ProcConfig,
+    resample_matrix: Optional[np.ndarray],
+    window: Optional[np.ndarray],
+) -> np.ndarray:
+    """Fold background removal, k-linearization and windowing into one
+    (n_in, n_out) operator applied as ``lines @ op``.
+
+    Composition order matches the pipeline stage order (cuda_code.cu:
+    1422-1511): background first, then resampling, then window scaling.
+    """
+    n = acq.samples_per_line
+    op = np.eye(n, dtype=np.float64)
+    if cfg.background_removal:
+        start, end, count = rolling_average_indices(n, cfg.rolling_average_window)
+        m = np.zeros((n, n), dtype=np.float64)
+        for i in range(n):
+            m[i, start[i]:end[i] + 1] = 1.0 / count[i]
+        op = op - m  # (I - M)
+    if cfg.resampling:
+        if resample_matrix is None:
+            raise ValueError("resampling enabled but no resample matrix given")
+        op = np.asarray(resample_matrix, np.float64) @ op
+    if cfg.windowing:
+        if window is None:
+            raise ValueError("windowing enabled but no window curve given")
+        op = np.asarray(window, np.float64)[:, None] * op
+    return np.ascontiguousarray(op.T, dtype=np.float32)  # (n_in, n_out)
+
+
+def _decode_block(x, bit_depth: int, bitshift: bool):
+    """In-kernel integer decode (ops.convert.decode numerics,
+    cuda_code.cu:109-147)."""
+    if bit_depth <= 16:
+        if bitshift:
+            x = jax.lax.shift_right_logical(x, jnp.asarray(4, x.dtype))
+        return x.astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    if bitshift:
+        xf = xf / jnp.float32(4294967296.0)
+    return xf
+
+
+def _kernel_phase(raw_ref, op_ref, cos_ref, sin_ref, re_ref, im_ref,
+                  *, bit_depth: int, bitshift: bool):
+    x = _decode_block(raw_ref[:], bit_depth, bitshift)
+    y = jnp.dot(x, op_ref[:], preferred_element_type=jnp.float32)
+    re_ref[:] = y * cos_ref[:]
+    im_ref[:] = y * sin_ref[:]
+
+
+def _kernel_real(raw_ref, op_ref, out_ref, *, bit_depth: int, bitshift: bool):
+    x = _decode_block(raw_ref[:], bit_depth, bitshift)
+    out_ref[:] = jnp.dot(x, op_ref[:], preferred_element_type=jnp.float32)
+
+
+def _pick_tile(n_lines: int) -> int:
+    for tile in (256, 128, 64, 32, 16, 8):
+        if n_lines % tile == 0:
+            return tile
+    return n_lines
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth", "bitshift", "interpret"))
+def _fused_prep_impl(raw2d, op, cos_row, sin_row, *, bit_depth: int,
+                     bitshift: bool, interpret: bool):
+    n_lines, n_in = raw2d.shape
+    n_out = op.shape[1]
+    tile = _pick_tile(n_lines)
+    grid = (n_lines // tile,)
+    line_spec = pl.BlockSpec((tile, n_in), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    op_spec = pl.BlockSpec((n_in, n_out), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile, n_out), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * n_lines * n_in * n_out,
+        bytes_accessed=raw2d.size * raw2d.dtype.itemsize
+        + op.size * 4 + 2 * n_lines * n_out * 4,
+        transcendentals=0,
+    )
+    if cos_row is not None:
+        row_spec = pl.BlockSpec((1, n_out), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        kernel = functools.partial(_kernel_phase, bit_depth=bit_depth,
+                                   bitshift=bitshift)
+        re, im = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[line_spec, op_spec, row_spec, row_spec],
+            out_specs=(out_spec, out_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_lines, n_out), jnp.float32),
+                jax.ShapeDtypeStruct((n_lines, n_out), jnp.float32),
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(raw2d, op, cos_row, sin_row)
+        return jax.lax.complex(re, im)
+    kernel = functools.partial(_kernel_real, bit_depth=bit_depth,
+                               bitshift=bitshift)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[line_spec, op_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n_lines, n_out), jnp.float32),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(raw2d, op)
+
+
+def fused_prep(
+    raw: jnp.ndarray,
+    prep_operator: jnp.ndarray,
+    phase: Optional[jnp.ndarray],
+    acq: AcqParams,
+    cfg: ProcConfig,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Stages 1-3 of the pipeline in one Pallas pass.
+
+    raw: uint (..., n_in); prep_operator: float32 (n_in, n_out) from
+    :func:`build_prep_operator`; phase: complex64 (n_out,) phasor or None.
+    Returns complex64 (phase given) or float32 (..., n_out).
+    """
+    if prep_operator is None:
+        raise ValueError(
+            "cfg.use_pallas_prep is set but curves.prep_operator is None -- "
+            "build the curves with the same config (make_curves(acq, cfg, ...))")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lead_shape = raw.shape[:-1]
+    n_in = raw.shape[-1]
+    raw2d = raw.reshape(-1, n_in)
+    if phase is not None:
+        cos_row = jnp.real(phase).reshape(1, -1)
+        sin_row = jnp.imag(phase).reshape(1, -1)
+    else:
+        cos_row = sin_row = None
+    out = _fused_prep_impl(raw2d, prep_operator, cos_row, sin_row,
+                           bit_depth=acq.bit_depth, bitshift=cfg.bitshift,
+                           interpret=interpret)
+    return out.reshape(*lead_shape, out.shape[-1])

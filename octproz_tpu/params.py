@@ -194,6 +194,10 @@ class ProcConfig:
     # Compute dtype of the spectral prep chain. float32 matches reference
     # numerics; bfloat16 trades PSNR for speed.
     compute_dtype: str = "float32"
+    # Run stages 1-3 as the single fused Pallas kernel (decode + folded
+    # background/resample/window operator GEMM + phasor epilogue); the analog
+    # of the reference's triple-fused kernels (cuda_code.cu:413-489).
+    use_pallas_prep: bool = False
 
     def __post_init__(self):
         if self.rolling_average_window < 1:
@@ -230,6 +234,7 @@ class Curves:
 
     resample_curve: Optional[jax.Array] = None     # float32[n]
     resample_matrix: Optional[jax.Array] = None    # float32[n, n] (row j = weights)
+    prep_operator: Optional[jax.Array] = None      # float32[n_in, n_out] folded
     window: Optional[jax.Array] = None             # float32[n]
     phase: Optional[jax.Array] = None              # complex64[n] = exp(+i*phi)
     sinusoidal_curve: Optional[jax.Array] = None   # float32[ascans_per_bscan]

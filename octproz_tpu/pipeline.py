@@ -47,6 +47,12 @@ def prep_spectra(raw: jnp.ndarray, curves: Curves, acq: AcqParams,
     raw: uint (bscans, ascans, samples).  Returns float32 (real path) or
     complex64 (dispersion path), shape (bscans, ascans, samples).
     """
+    if cfg.use_pallas_prep:
+        from .pallas.fused_prep import fused_prep
+        return fused_prep(
+            raw, curves.prep_operator,
+            curves.phase if cfg.dispersion else None, acq, cfg)
+
     x = convert.decode(raw, acq.bit_depth, cfg.bitshift)
 
     if cfg.background_removal:

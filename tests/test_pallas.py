@@ -1,0 +1,99 @@
+"""Parity tests: fused Pallas prep (decode + folded operator GEMM + phasor
+epilogue) vs the unfused reference ops, across flag combinations.
+
+Runs in Pallas interpret mode on CPU (conftest forces the cpu backend); the
+numerics must match the unfused chain to float32 tolerance since the fold
+only reassociates linear operations."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from octproz_tpu import AcqParams, Interpolation, ProcConfig, curves as curves_mod
+from octproz_tpu import pipeline
+from octproz_tpu.params import FpnMode, WindowType
+
+
+ACQ = AcqParams(samples_per_line=128, ascans_per_bscan=16, bscans_per_buffer=2,
+                buffers_per_volume=1, bit_depth=12)
+
+
+def _raw(rng, acq=ACQ):
+    return rng.integers(0, 4095, size=acq.buffer_shape).astype(np.uint16)
+
+
+def _compare(cfg, rng, acq=ACQ, atol=2e-2):
+    base = dataclasses.replace(cfg, use_pallas_prep=False)
+    fused = dataclasses.replace(cfg, use_pallas_prep=True)
+    kw = dict(resample_coeffs=(0.0, acq.samples_per_line - 1.0, 10.0, -4.0),
+              dispersion_coeffs=(0.0, 0.0, 8.0, 0.0),
+              window_type=WindowType.HANNING)
+    c_base = curves_mod.make_curves(acq, base, **kw)
+    c_fused = curves_mod.make_curves(acq, fused, **kw)
+    raw = jnp.asarray(_raw(rng, acq))
+    want = pipeline.prep_spectra(raw, c_base, acq, base)
+    got = pipeline.prep_spectra(raw, c_fused, acq, fused)
+    assert got.shape == want.shape and got.dtype == want.dtype
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=atol, rtol=1e-4)
+
+
+@pytest.mark.parametrize("interp", [Interpolation.LINEAR, Interpolation.CUBIC,
+                                    Interpolation.LANCZOS])
+def test_fused_full_chain(interp, rng):
+    cfg = ProcConfig(resampling=True, interpolation=interp, windowing=True,
+                     dispersion=True, background_removal=True,
+                     rolling_average_window=16)
+    _compare(cfg, rng)
+
+
+def test_fused_no_dispersion_returns_real(rng):
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.CUBIC,
+                     windowing=True, dispersion=False)
+    _compare(cfg, rng)
+
+
+def test_fused_background_only(rng):
+    cfg = ProcConfig(background_removal=True, rolling_average_window=8)
+    _compare(cfg, rng)
+
+
+def test_fused_window_only(rng):
+    cfg = ProcConfig(windowing=True)
+    _compare(cfg, rng)
+
+
+def test_fused_bitshift(rng):
+    cfg = ProcConfig(bitshift=True, resampling=True,
+                     interpolation=Interpolation.LINEAR, windowing=True,
+                     dispersion=True)
+    _compare(cfg, rng)
+
+
+def test_fused_odd_line_count(rng):
+    # 24 lines per buffer: exercises the non-256 tile fallback
+    acq = AcqParams(samples_per_line=128, ascans_per_bscan=12,
+                    bscans_per_buffer=2, buffers_per_volume=1, bit_depth=12)
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.CUBIC,
+                     windowing=True, dispersion=True)
+    _compare(cfg, rng, acq=acq)
+
+
+def test_fused_full_pipeline_end_to_end(rng):
+    """Whole process_buffer parity with the fused prep enabled."""
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.CUBIC,
+                     windowing=True, dispersion=True, fpn_mode=FpnMode.OFF,
+                     log_scaling=True)
+    kw = dict(resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 5.0, 0.0),
+              dispersion_coeffs=(0.0, 0.0, 8.0, 0.0))
+    fused_cfg = dataclasses.replace(cfg, use_pallas_prep=True)
+    c_base = curves_mod.make_curves(ACQ, cfg, **kw)
+    c_fused = curves_mod.make_curves(ACQ, fused_cfg, **kw)
+    raw = jnp.asarray(_raw(rng))
+    state = pipeline.initial_fpn_state(ACQ)
+    want, _ = pipeline.process_buffer(raw, c_base, state, ACQ, cfg)
+    got, _ = pipeline.process_buffer(raw, c_fused, state, ACQ, fused_cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-3, rtol=1e-4)
