@@ -1,0 +1,309 @@
+"""Command-line interface: process / replay / render / bench / info.
+
+The headless app-shell of the framework -- the role OCTproZMainWindow +
+Sidebar + OCTproZApp play in the reference (octproz_project/octproz/src/
+octprozapp.cpp slot_start/slot_record orchestration, sidebar.cpp:319-359
+parameter mapping), with an INI settings file replacing the GUI state
+(settingsfilemanager, sidebar.h:44-96 keys).  The reference has no CLI
+(docs list none); this is the TPU build's primary user surface.
+
+Commands:
+  process  one-shot: read a raw volume file, run the pipeline, write
+           processed output / B-scan / en-face PNGs and volume renders
+  replay   streaming: replay a file through the runtime engine at a given
+           rate with live throughput metrics (Virtual OCT System analog)
+  render   render a processed volume file with one of the 7 3D modes
+  bench    the headline benchmark (same as bench.py)
+  info     device + version report (GpuInfo analog)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def _add_acq_args(p: argparse.ArgumentParser) -> None:
+    g = p.add_argument_group("acquisition geometry")
+    g.add_argument("--samples", type=int, required=True,
+                   help="samples per A-scan (raw line length)")
+    g.add_argument("--ascans", type=int, required=True, help="A-scans per B-scan")
+    g.add_argument("--bscans", type=int, required=True, help="B-scans per buffer")
+    g.add_argument("--buffers-per-volume", type=int, default=1)
+    g.add_argument("--bit-depth", type=int, default=12)
+
+
+def _add_proc_args(p: argparse.ArgumentParser) -> None:
+    g = p.add_argument_group("processing (sidebar.cpp:319-337 analog)")
+    g.add_argument("--bitshift", action="store_true",
+                   help="right-shift 16-bit containers by 4 (12-in-16 digitizers)")
+    g.add_argument("--background-removal", action="store_true")
+    g.add_argument("--rolling-window", type=int, default=64)
+    g.add_argument("--no-resampling", action="store_true")
+    g.add_argument("--interpolation", choices=["linear", "cubic", "lanczos"],
+                   default="cubic")
+    g.add_argument("--klin-coeffs", type=float, nargs=4, default=None,
+                   metavar=("C0", "C1", "C2", "C3"),
+                   help="resampling polynomial; default identity (0, N-1, 0, 0)")
+    g.add_argument("--no-windowing", action="store_true")
+    g.add_argument("--window-type", choices=["hanning", "gauss", "sine",
+                                             "lanczos", "rectangular", "flattop"],
+                   default="hanning")
+    g.add_argument("--window-center", type=float, default=0.5)
+    g.add_argument("--window-fill", type=float, default=1.0)
+    g.add_argument("--no-dispersion", action="store_true")
+    g.add_argument("--disp-coeffs", type=float, nargs=4, default=(0, 0, 0, 0),
+                   metavar=("D0", "D1", "D2", "D3"))
+    g.add_argument("--fpn", choices=["off", "once", "continuous"], default="off")
+    g.add_argument("--lin-scaling", action="store_true",
+                   help="linear instead of logarithmic dynamic-range scaling")
+    g.add_argument("--grayscale-min", type=float, default=0.0)
+    g.add_argument("--grayscale-max", type=float, default=60.0)
+    g.add_argument("--bscan-flip", action="store_true")
+    g.add_argument("--sinusoidal-correction", action="store_true")
+    g.add_argument("--fused-prep", action="store_true",
+                   help="use the fused Pallas prep kernel")
+    g.add_argument("--settings", default=None,
+                   help="INI settings file; CLI flags override its values")
+
+
+def _build_config(args):
+    from .params import AcqParams, FpnMode, Interpolation, ProcConfig, WindowType
+
+    acq = AcqParams(samples_per_line=args.samples, ascans_per_bscan=args.ascans,
+                    bscans_per_buffer=args.bscans,
+                    buffers_per_volume=args.buffers_per_volume,
+                    bit_depth=args.bit_depth)
+    cfg = ProcConfig(
+        bitshift=args.bitshift,
+        background_removal=args.background_removal,
+        rolling_average_window=args.rolling_window,
+        resampling=not args.no_resampling,
+        interpolation=Interpolation(args.interpolation),
+        windowing=not args.no_windowing,
+        dispersion=not args.no_dispersion,
+        fpn_mode=FpnMode(args.fpn),
+        log_scaling=not args.lin_scaling,
+        grayscale_min=args.grayscale_min,
+        grayscale_max=args.grayscale_max,
+        bscan_flip=args.bscan_flip,
+        sinusoidal_correction=args.sinusoidal_correction,
+        use_pallas_prep=args.fused_prep,
+    )
+    klin = args.klin_coeffs or (0.0, float(args.samples - 1), 0.0, 0.0)
+    model_kw = dict(
+        resample_coeffs=tuple(klin),
+        dispersion_coeffs=tuple(args.disp_coeffs),
+        window_type=WindowType(args.window_type),
+        window_center=args.window_center,
+        window_fill_factor=args.window_fill,
+    )
+    return acq, cfg, model_kw
+
+
+def _apply_settings_file(args) -> None:
+    """Fill argparse defaults from an INI settings file (CLI flags win)."""
+    if not args.settings:
+        return
+    from .utils.settings import SettingsManager
+
+    s = SettingsManager(args.settings)
+    proc = s.get_group("processing")
+    # Simple policy: only set attributes the user left at their defaults.
+    if proc:
+        if not args.bitshift:
+            args.bitshift = s.get_bool("processing", "bitshift", False)
+        if not args.background_removal:
+            args.background_removal = s.get_bool("processing", "background_removal", False)
+        if args.klin_coeffs is None and s.get("processing", "klin_coeffs"):
+            args.klin_coeffs = [float(x) for x in
+                                s.get("processing", "klin_coeffs").split(",")]
+
+
+def cmd_process(args) -> int:
+    import jax.numpy as jnp
+
+    from .io.source import VirtualOctSource
+    from .models.fdoct import FdOctModel
+    from .viz import builtin_lut, save_bscan_png, save_enface_png
+
+    _apply_settings_file(args)
+    acq, cfg, model_kw = _build_config(args)
+    model = FdOctModel(acq, cfg, **model_kw)
+    src = VirtualOctSource(args.input, acq,
+                           total_buffers_to_acquire=args.max_buffers)
+    n_buffers = min(src.buffers_in_file, args.max_buffers or src.buffers_in_file)
+
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(n_buffers):
+        outs.append(model.process_buffer(jnp.asarray(src.read_buffer(i))))
+    volume = np.concatenate([np.asarray(o) for o in outs], axis=0)
+    dt = time.perf_counter() - t0
+    ascans = n_buffers * acq.ascans_per_buffer
+    print(f"processed {n_buffers} buffers ({volume.shape[0]} B-scans) in "
+          f"{dt:.2f} s -- {ascans / dt / 1e3:.1f} kHz A-scans", file=sys.stderr)
+
+    lut = builtin_lut(args.lut) if args.lut else None
+    if args.output:
+        np.clip(volume, 0.0, 1.0).astype(np.float32).tofile(args.output)
+        print(f"wrote {args.output} float32 "
+              f"{volume.shape[2]}x{volume.shape[1]}x{volume.shape[0]}",
+              file=sys.stderr)
+    if args.bscan_png is not None:
+        p = save_bscan_png(args.bscan_png, volume, frame_nr=args.frame, lut=lut)
+        print(f"wrote {p}", file=sys.stderr)
+    if args.enface_png is not None:
+        p = save_enface_png(args.enface_png, volume, depth_nr=args.depth, lut=lut)
+        print(f"wrote {p}", file=sys.stderr)
+    if args.render_png is not None:
+        _render_to_png(volume, args.render_png, args.render_mode, lut)
+    return 0
+
+
+def _render_to_png(volume, path, mode_name, lut=None):
+    from .viz import RenderMode, RenderParams, render_volume, save_png
+
+    params = RenderParams(mode=RenderMode(mode_name))
+    img = render_volume(volume, params, yaw=0.5, pitch=0.4)
+    save_png(path, img)
+    print(f"wrote {path} ({mode_name})", file=sys.stderr)
+
+
+def cmd_replay(args) -> int:
+    from .io.source import VirtualOctSource
+    from .models.fdoct import FdOctModel
+    from .runtime import StreamingEngine
+    from .utils.console import MessageConsole
+
+    _apply_settings_file(args)
+    acq, cfg, model_kw = _build_config(args)
+    model = FdOctModel(acq, cfg, **model_kw)
+    src = VirtualOctSource(args.input, acq, wait_time_us=args.wait_us,
+                           total_buffers_to_acquire=args.max_buffers)
+    console = MessageConsole(echo=True)
+    eng = StreamingEngine(model, src, stream_to_host=args.stream,
+                          streaming_skip=args.skip, on_info=console.info,
+                          metrics_window_s=args.metrics_window)
+    t0 = time.perf_counter()
+    n = eng.run(max_buffers=args.max_buffers)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "buffers_processed": n,
+        "ascans_per_s": round(n * acq.ascans_per_buffer / dt, 1),
+        "mb_per_s": round(n * acq.bytes_per_buffer / 1e6 / dt, 1),
+    }))
+    return 0
+
+
+def cmd_render(args) -> int:
+    from .viz import RenderMode, RenderParams, builtin_lut, render_volume, save_png
+
+    data = np.fromfile(args.input, dtype=np.float32)
+    volume = data.reshape(args.bscans, args.ascans, args.depth)
+    params = RenderParams(mode=RenderMode(args.mode), threshold=args.threshold,
+                          gamma=args.gamma, step_length=args.step_length)
+    lut = builtin_lut(args.lut) if args.lut else None
+    img = render_volume(volume, params, yaw=args.yaw, pitch=args.pitch,
+                        out_shape=(args.size, args.size), lut=lut)
+    save_png(args.out, img)
+    print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_info(args) -> int:
+    from . import __version__
+    from .utils.deviceinfo import format_report
+
+    print(f"octproz_tpu {__version__}")
+    print(format_report())
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+    import os
+
+    bench = os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+    runpy.run_path(bench, run_name="__main__")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="octproz_tpu",
+        description="TPU-native FD-OCT processing framework")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pp = sub.add_parser("process", help="process a raw volume file")
+    pp.add_argument("input", help=".raw file (unpacked little-endian samples)")
+    _add_acq_args(pp)
+    _add_proc_args(pp)
+    pp.add_argument("--max-buffers", type=int, default=None)
+    pp.add_argument("--output", default=None, help="write processed float32 .raw")
+    pp.add_argument("--bscan-png", default=None)
+    pp.add_argument("--frame", type=int, default=0, help="B-scan frame number")
+    pp.add_argument("--enface-png", default=None)
+    pp.add_argument("--depth", type=int, default=0, help="en-face depth index")
+    pp.add_argument("--render-png", default=None)
+    pp.add_argument("--render-mode", default="mip",
+                    choices=["isosurface", "alpha_blending", "mip", "depth_mip",
+                             "mida", "xray", "oct_depth"])
+    pp.add_argument("--lut", default=None)
+    pp.set_defaults(fn=cmd_process)
+
+    pr = sub.add_parser("replay", help="stream a file through the runtime")
+    pr.add_argument("input")
+    _add_acq_args(pr)
+    _add_proc_args(pr)
+    pr.add_argument("--max-buffers", type=int, default=None)
+    pr.add_argument("--wait-us", type=int, default=0,
+                    help="artificial per-buffer delay (rate emulation)")
+    pr.add_argument("--stream", action="store_true", help="fetch processed data")
+    pr.add_argument("--skip", type=int, default=0, help="streaming buffers to skip")
+    pr.add_argument("--metrics-window", type=float, default=5.0)
+    pr.set_defaults(fn=cmd_replay)
+
+    pv = sub.add_parser("render", help="render a processed float32 volume")
+    pv.add_argument("input")
+    pv.add_argument("--bscans", type=int, required=True)
+    pv.add_argument("--ascans", type=int, required=True)
+    pv.add_argument("--depth", type=int, required=True)
+    pv.add_argument("--mode", default="mip")
+    pv.add_argument("--threshold", type=float, default=0.25)
+    pv.add_argument("--gamma", type=float, default=2.0)
+    pv.add_argument("--step-length", type=float, default=0.01)
+    pv.add_argument("--yaw", type=float, default=0.5)
+    pv.add_argument("--pitch", type=float, default=0.4)
+    pv.add_argument("--size", type=int, default=512)
+    pv.add_argument("--lut", default=None)
+    pv.add_argument("--out", required=True)
+    pv.set_defaults(fn=cmd_render)
+
+    pi = sub.add_parser("info", help="device + version report")
+    pi.set_defaults(fn=cmd_info)
+
+    pb = sub.add_parser("bench", help="run the headline benchmark")
+    pb.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"error: file not found: {e.filename or e}", file=sys.stderr)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,93 @@
+"""CLI tests driven through octproz_tpu.cli.main (the argparse surface)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from octproz_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def raw_file(tmp_path_factory):
+    """Two small buffers of 12-bit fringes with a reflector at depth 20."""
+    d = tmp_path_factory.mktemp("cli")
+    n, asc, bsc = 128, 8, 4
+    k = np.arange(n)
+    spec = 1000.0 + 400.0 * np.cos(2 * np.pi * 20 * k / n)
+    vol = np.tile(spec, (2, bsc, asc, 1)).astype(np.uint16)
+    path = d / "in.raw"
+    vol.tofile(path)
+    return str(path), n, asc, bsc
+
+
+def _geom(n, asc, bsc):
+    return ["--samples", str(n), "--ascans", str(asc), "--bscans", str(bsc),
+            "--buffers-per-volume", "2", "--bit-depth", "12"]
+
+
+def test_process_writes_outputs(raw_file, tmp_path, capsys):
+    path, n, asc, bsc = raw_file
+    out = tmp_path / "out.raw"
+    png = tmp_path / "b.png"
+    rc = main(["process", path, *_geom(n, asc, bsc), "--fpn", "off",
+               "--output", str(out), "--bscan-png", str(png)])
+    assert rc == 0
+    data = np.fromfile(out, np.float32).reshape(2 * bsc, asc, n // 2)
+    assert np.isfinite(data).all()
+    ascan = data[0, 4]
+    assert ascan[18:23].max() > np.median(ascan)  # reflector at depth 20
+    assert png.exists()
+
+
+def test_process_fused_matches_unfused(raw_file, tmp_path):
+    path, n, asc, bsc = raw_file
+    a, b = tmp_path / "a.raw", tmp_path / "b.raw"
+    assert main(["process", path, *_geom(n, asc, bsc), "--fpn", "off",
+                 "--output", str(a)]) == 0
+    assert main(["process", path, *_geom(n, asc, bsc), "--fpn", "off",
+                 "--fused-prep", "--output", str(b)]) == 0
+    np.testing.assert_allclose(np.fromfile(a, np.float32),
+                               np.fromfile(b, np.float32), atol=5e-2)
+
+
+def test_replay_reports_json(raw_file, capsys):
+    path, n, asc, bsc = raw_file
+    rc = main(["replay", path, *_geom(n, asc, bsc), "--fpn", "off",
+               "--max-buffers", "4"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["buffers_processed"] == 4
+    assert report["ascans_per_s"] > 0
+
+
+def test_render_command(raw_file, tmp_path):
+    vol = np.random.default_rng(0).random((8, 8, 16)).astype(np.float32)
+    vol_file = tmp_path / "v.raw"
+    vol.tofile(vol_file)
+    out = tmp_path / "r.png"
+    rc = main(["render", str(vol_file), "--bscans", "8", "--ascans", "8",
+               "--depth", "16", "--mode", "xray", "--size", "16",
+               "--out", str(out)])
+    assert rc == 0 and out.exists()
+
+
+def test_missing_file_clean_error(capsys):
+    rc = main(["process", "/nope/missing.raw", "--samples", "64",
+               "--ascans", "8", "--bscans", "2"])
+    assert rc == 1
+    assert "error: file not found" in capsys.readouterr().err
+
+
+def test_bad_reshape_clean_error(tmp_path, capsys):
+    f = tmp_path / "small.raw"
+    np.zeros(16, np.float32).tofile(f)
+    rc = main(["render", str(f), "--bscans", "9", "--ascans", "9",
+               "--depth", "9", "--out", str(tmp_path / "x.png")])
+    assert rc == 1
+    assert "error:" in capsys.readouterr().err
+
+
+def test_info_runs(capsys):
+    assert main(["info"]) == 0
+    assert "octproz_tpu" in capsys.readouterr().out
