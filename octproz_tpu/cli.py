@@ -37,6 +37,10 @@ def _add_acq_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--bscans", type=int, required=True, help="B-scans per buffer")
     g.add_argument("--buffers-per-volume", type=int, default=1)
     g.add_argument("--bit-depth", type=int, default=12)
+    g.add_argument("--packed-12bit", action="store_true",
+                   help="input file holds 12-bit packed samples (2 per 3 bytes)")
+    g.add_argument("--stream-from-disk", action="store_true",
+                   help="do not preload the file into RAM (huge files)")
 
 
 def _add_proc_args(p: argparse.ArgumentParser) -> None:
@@ -137,7 +141,9 @@ def cmd_process(args) -> int:
     acq, cfg, model_kw = _build_config(args)
     model = FdOctModel(acq, cfg, **model_kw)
     src = VirtualOctSource(args.input, acq,
-                           total_buffers_to_acquire=args.max_buffers)
+                           total_buffers_to_acquire=args.max_buffers,
+                           packed_12bit=args.packed_12bit,
+                           copy_to_ram=not args.stream_from_disk)
     n_buffers = min(src.buffers_in_file, args.max_buffers or src.buffers_in_file)
 
     t0 = time.perf_counter()
@@ -186,7 +192,9 @@ def cmd_replay(args) -> int:
     acq, cfg, model_kw = _build_config(args)
     model = FdOctModel(acq, cfg, **model_kw)
     src = VirtualOctSource(args.input, acq, wait_time_us=args.wait_us,
-                           total_buffers_to_acquire=args.max_buffers)
+                           total_buffers_to_acquire=args.max_buffers,
+                           packed_12bit=args.packed_12bit,
+                           copy_to_ram=not args.stream_from_disk)
     console = MessageConsole(echo=True)
     eng = StreamingEngine(model, src, stream_to_host=args.stream,
                           streaming_skip=args.skip, on_info=console.info,

@@ -70,6 +70,7 @@ class VirtualOctSource:
         bscan_offset: int = 0,
         copy_to_ram: bool = True,
         total_buffers_to_acquire: Optional[int] = None,
+        packed_12bit: bool = False,
     ):
         self.path = path
         self.acq = acq
@@ -77,35 +78,56 @@ class VirtualOctSource:
         self.bscan_offset = bscan_offset
         self.copy_to_ram = copy_to_ram
         self.total = total_buffers_to_acquire
-        self._dtype = _np_dtype(acq.bit_depth)
+        self.packed_12bit = packed_12bit
+        self._dtype = np.uint16 if packed_12bit else _np_dtype(acq.bit_depth)
+        if packed_12bit:
+            if acq.samples_per_buffer % 2:
+                raise ValueError("packed 12-bit input needs an even sample count")
+            self._buffer_bytes = acq.samples_per_buffer * 3 // 2
+            line_samples = acq.ascans_per_bscan * acq.samples_per_line
+            self._offset_bytes = bscan_offset * line_samples * 3 // 2
+        else:
+            self._buffer_bytes = acq.bytes_per_buffer
+            self._offset_bytes = (bscan_offset * acq.ascans_per_bscan
+                                  * acq.samples_per_line * acq.bytes_per_sample)
 
         file_size = os.path.getsize(path)
-        self._offset_bytes = (bscan_offset * acq.ascans_per_bscan
-                              * acq.samples_per_line * acq.bytes_per_sample)
         usable = file_size - self._offset_bytes
-        if usable < acq.bytes_per_buffer:
+        if usable < self._buffer_bytes:
             raise ValueError(
                 f"{path}: {file_size} bytes is smaller than one buffer "
-                f"({acq.bytes_per_buffer} bytes) after bscan_offset")
-        self.buffers_in_file = usable // acq.bytes_per_buffer
+                f"({self._buffer_bytes} bytes) after bscan_offset")
+        self.buffers_in_file = usable // self._buffer_bytes
 
         self._ram: Optional[np.ndarray] = None
         if copy_to_ram:
-            count = self.buffers_in_file * self.acq.samples_per_buffer
-            data = np.fromfile(path, dtype=self._dtype,
-                               count=count,
-                               offset=self._offset_bytes)
-            self._ram = data.reshape(self.buffers_in_file, *acq.buffer_shape)
+            self._ram = np.stack([self._read_from_disk(i)
+                                  for i in range(self.buffers_in_file)])
+        else:
+            # streaming mode: reusable aligned read buffer + native pread
+            # (virtualoctsystem.cpp:226-291; native/octnative.cpp file_read_at)
+            self._scratch = np.empty(self._buffer_bytes, np.uint8)
+
+    def _read_from_disk(self, index: int) -> np.ndarray:
+        from .. import native
+
+        offset = self._offset_bytes + index * self._buffer_bytes
+        raw = native.read_file_at(self.path, offset, self._buffer_bytes,
+                                  getattr(self, "_scratch", None))
+        if self.packed_12bit:
+            return native.unpack_uint12(
+                raw, self.acq.samples_per_buffer).reshape(self.acq.buffer_shape)
+        out = raw.view(self._dtype).reshape(self.acq.buffer_shape)
+        # streaming mode reuses the scratch buffer; hand out a copy so the
+        # next read cannot overwrite data still in flight downstream
+        return out.copy() if raw is getattr(self, "_scratch", None) else out
 
     def read_buffer(self, index: int) -> np.ndarray:
         """Read buffer ``index % buffers_in_file`` (zero-copy view in RAM mode)."""
         index = index % self.buffers_in_file
         if self._ram is not None:
             return self._ram[index]
-        offset = self._offset_bytes + index * self.acq.bytes_per_buffer
-        data = np.fromfile(self.path, dtype=self._dtype,
-                           count=self.acq.samples_per_buffer, offset=offset)
-        return data.reshape(self.acq.buffer_shape)
+        return self._read_from_disk(index)
 
     def buffers(self) -> Iterator[np.ndarray]:
         i = 0
