@@ -1,0 +1,174 @@
+"""TCP streaming + remote-control server.
+
+Capability-equivalent of the reference's Socket Stream Extension (remote
+control and data streaming over TCP/IP / WebSocket / IPC,
+docs/docs/plugins.md:32-33).  Protocol (newline-delimited JSON control
+channel with length-prefixed binary frames):
+
+  client -> server:  one JSON object per line
+      {"command": "subscribe", "what": "processed"}   start frame push
+      {"command": "unsubscribe"}
+      {"command": "ping"}                             -> {"reply": "pong"}
+      {"command": <name>, "target": <plugin>, ...}    routed to the message
+                                                      bus (remote control)
+  server -> client:  {"type": "frame", "nbytes": N, "dtype": ..., "shape":
+      [...], "buffer_nr": k}\\n  followed by exactly N raw bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..plugins import Extension, MessageBus
+
+
+class _ClientHandler(socketserver.StreamRequestHandler):
+    def handle(self):
+        server: "_StreamServer" = self.server  # type: ignore[assignment]
+        self._subscribed = False
+        server.register_client(self)
+        try:
+            for raw_line in self.rfile:
+                line = raw_line.strip()
+                if not line:
+                    continue
+                try:
+                    msg = json.loads(line.decode())
+                except (ValueError, UnicodeDecodeError):
+                    self.send_json({"error": "invalid json"})
+                    continue
+                self._dispatch(msg, server)
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            server.unregister_client(self)
+
+    def _dispatch(self, msg: Dict, server: "_StreamServer") -> None:
+        cmd = msg.get("command")
+        if cmd == "subscribe":
+            self._subscribed = True
+            self.send_json({"reply": "subscribed"})
+        elif cmd == "unsubscribe":
+            self._subscribed = False
+            self.send_json({"reply": "unsubscribed"})
+        elif cmd == "ping":
+            self.send_json({"reply": "pong"})
+        elif cmd is None:
+            self.send_json({"error": "missing command"})
+        else:
+            handled = server.route_command(msg)
+            self.send_json({"reply": "ok" if handled else "unknown command"})
+
+    def send_json(self, obj: Dict) -> None:
+        with self._send_lock:
+            self.wfile.write((json.dumps(obj) + "\n").encode())
+            self.wfile.flush()
+
+    def send_frame(self, array: np.ndarray, buffer_nr: int) -> None:
+        if not self._subscribed:
+            return
+        data = np.ascontiguousarray(array)
+        header = json.dumps({
+            "type": "frame", "nbytes": data.nbytes, "dtype": str(data.dtype),
+            "shape": list(data.shape), "buffer_nr": buffer_nr}) + "\n"
+        with self._send_lock:
+            self.wfile.write(header.encode())
+            self.wfile.write(data.tobytes())
+            self.wfile.flush()
+
+
+class _StreamServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, addr, bus: Optional[MessageBus]):
+        super().__init__(addr, _ClientHandler)
+        self._clients: list = []
+        self._clients_lock = threading.Lock()
+        self._bus = bus
+
+    def register_client(self, client) -> None:
+        client._send_lock = threading.Lock()
+        with self._clients_lock:
+            self._clients.append(client)
+
+    def unregister_client(self, client) -> None:
+        with self._clients_lock:
+            if client in self._clients:
+                self._clients.remove(client)
+
+    def route_command(self, msg: Dict) -> bool:
+        """Remote control: forward to the plugin message bus
+        (pluginmessagebus.cpp:28-56 analog)."""
+        if self._bus is None:
+            return False
+        target = msg.get("target", "")
+        params = {k: v for k, v in msg.items() if k not in ("command", "target")}
+        if target:
+            return self._bus.send_command("socket-stream", target,
+                                          msg["command"], params)
+        self._bus.broadcast("socket-stream", msg["command"], params)
+        return True
+
+    def push_frame(self, array: np.ndarray, buffer_nr: int) -> int:
+        with self._clients_lock:
+            clients = list(self._clients)
+        sent = 0
+        for c in clients:
+            try:
+                c.send_frame(array, buffer_nr)
+                sent += 1
+            except (ConnectionError, OSError):
+                self.unregister_client(c)
+        return sent
+
+
+class SocketStreamServer(Extension):
+    """Extension that serves the processed stream over TCP and routes remote
+    commands into the message bus.  Start with :meth:`start`; port 0 picks a
+    free port (see ``.port``)."""
+
+    name = "socket-stream"
+    wants_processed_data = True
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 bus: Optional[MessageBus] = None):
+        super().__init__()
+        self._server = _StreamServer((host, port), bus or MessageBus())
+        self.host, self.port = self._server.server_address
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        daemon=True, name="octproz-socket-stream")
+        self._thread.start()
+        self.activate()
+
+    def stop(self) -> None:
+        self.deactivate()
+        self._server.shutdown()
+        self._server.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def processed_data_received(self, buffer, bit_depth, spl, apb, bpb, bpv, nr):
+        self._server.push_frame(np.asarray(buffer), nr)
+
+
+def read_frame(sock_file) -> Optional[Dict]:
+    """Client-side helper: read one server message; for frames, attaches the
+    decoded array under ``"data"``."""
+    line = sock_file.readline()
+    if not line:
+        return None
+    msg = json.loads(line.decode())
+    if msg.get("type") == "frame":
+        payload = sock_file.read(msg["nbytes"])
+        msg["data"] = np.frombuffer(payload, dtype=msg["dtype"]).reshape(msg["shape"])
+    return msg
