@@ -43,6 +43,9 @@ def main() -> None:
         windowing=True, dispersion=True,
         fpn_mode=FpnMode.ONCE, bscans_for_noise=1,
         log_scaling=True,
+        # the whole pre-FPN chain as one planar complex GEMM on the MXU
+        # (pallas/fused_prep.build_depth_operator)
+        fft_via_matmul=True,
     )
     curves = curves_mod.make_curves(
         acq, cfg,

@@ -73,6 +73,9 @@ def _add_proc_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--sinusoidal-correction", action="store_true")
     g.add_argument("--fused-prep", action="store_true",
                    help="use the fused Pallas prep kernel")
+    g.add_argument("--fft-matmul", action="store_true",
+                   help="fold the whole pre-FPN chain incl. IFFT into one "
+                        "complex GEMM (fastest on TPU)")
     g.add_argument("--settings", default=None,
                    help="INI settings file; CLI flags override its values")
 
@@ -99,6 +102,7 @@ def _build_config(args):
         bscan_flip=args.bscan_flip,
         sinusoidal_correction=args.sinusoidal_correction,
         use_pallas_prep=args.fused_prep,
+        fft_via_matmul=args.fft_matmul,
     )
     klin = args.klin_coeffs or (0.0, float(args.samples - 1), 0.0, 0.0)
     model_kw = dict(

@@ -280,6 +280,13 @@ def make_curves(
     if cfg.use_pallas_prep:
         from .pallas.fused_prep import build_prep_operator
         prep_op = jnp.asarray(build_prep_operator(acq, cfg, rm_np, win_np))
+    dop_re = dop_im = None
+    if cfg.fft_via_matmul:
+        from .pallas.fused_prep import build_depth_operator
+        phase_np = np.asarray(dispersion_phase(acq, *dispersion_coeffs)) \
+            if cfg.dispersion else None
+        re_np, im_np = build_depth_operator(acq, cfg, rm_np, win_np, phase_np)
+        dop_re, dop_im = jnp.asarray(re_np), jnp.asarray(im_np)
     if cfg.dispersion:
         phase = jnp.asarray(dispersion_phase(acq, *dispersion_coeffs))
     if cfg.sinusoidal_correction:
@@ -293,6 +300,8 @@ def make_curves(
         resample_curve=rc,
         resample_matrix=rm,
         prep_operator=prep_op,
+        depth_op_re=dop_re,
+        depth_op_im=dop_im,
         window=win,
         phase=phase,
         sinusoidal_curve=sin_curve,

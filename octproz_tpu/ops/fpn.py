@@ -73,3 +73,41 @@ def subtract_mean_line(z_half: jnp.ndarray, mean_line_half: jnp.ndarray) -> jnp.
     z_half: complex64 (..., width/2); mean_line_half: complex64 (width/2,).
     """
     return z_half - mean_line_half
+
+
+# ---------------------------------------------------------------------------
+# Planar (re, im) variants: identical numerics with no complex64 arrays.
+# Used by the fft_via_matmul path so the whole pipeline runs on backends
+# without complex support (and avoids interleaved-complex layouts on TPU).
+# ---------------------------------------------------------------------------
+
+def segment_sums_planar(re: jnp.ndarray, im: jnp.ndarray,
+                        segments: int = FPN_SEGMENTS):
+    """Planar analog of :func:`segment_sums`.
+
+    re/im: float32 (n_lines, width).  Returns (sum_re, sum_im, sum_sq,
+    seg_width)."""
+    n_lines, width = re.shape
+    seg_width = max(n_lines // segments, 1)
+    used_re = re[: segments * seg_width].reshape(segments, seg_width, width)
+    used_im = im[: segments * seg_width].reshape(segments, seg_width, width)
+    sum_re = jnp.sum(used_re, axis=1)
+    sum_im = jnp.sum(used_im, axis=1)
+    sum_sq = jnp.sum(used_re**2 + used_im**2, axis=1)
+    return sum_re, sum_im, sum_sq, seg_width
+
+
+def select_min_variance_mean_planar(sum_re, sum_im, sum_sq, seg_count):
+    """Planar analog of :func:`select_min_variance_mean` -> (mean_re, mean_im)."""
+    factor = 1.0 / jnp.asarray(seg_count, jnp.float32)
+    mean_re = sum_re * factor
+    mean_im = sum_im * factor
+    variance = sum_sq * factor - (mean_re**2 + mean_im**2)
+    best = jnp.argmin(variance, axis=0)
+    take = lambda m: jnp.take_along_axis(m, best[None, :], axis=0)[0]
+    return take(mean_re), take(mean_im)
+
+
+def minimum_variance_mean_planar(re, im, segments: int = FPN_SEGMENTS):
+    sum_re, sum_im, sum_sq, seg_width = segment_sums_planar(re, im, segments)
+    return select_min_variance_mean_planar(sum_re, sum_im, sum_sq, seg_width)

@@ -34,17 +34,30 @@ def truncate_half(z: jnp.ndarray) -> jnp.ndarray:
     return z[..., : z.shape[-1] // 2]
 
 
+def scale_log_planar(re: jnp.ndarray, im: jnp.ndarray, half_len: int,
+                     gmin: float, gmax: float, addend: float,
+                     coeff: float) -> jnp.ndarray:
+    db = 10.0 * jnp.log10((re**2 + im**2) / jnp.float32(half_len))
+    return (jnp.float32(coeff) * ((db - gmin) / (gmax - gmin) + addend)).astype(jnp.float32)
+
+
+def scale_lin_planar(re: jnp.ndarray, im: jnp.ndarray, half_len: int,
+                     gmin: float, gmax: float, addend: float,
+                     coeff: float) -> jnp.ndarray:
+    mag = jnp.sqrt(re**2 + im**2) / jnp.float32(half_len)
+    return (jnp.float32(coeff) * ((mag - gmin) / (gmax - gmin) + addend)).astype(jnp.float32)
+
+
 def scale_log(z_half: jnp.ndarray, half_len: int, gmin: float, gmax: float,
               addend: float, coeff: float) -> jnp.ndarray:
-    mag2 = z_half.real**2 + z_half.imag**2
-    db = 10.0 * jnp.log10(mag2 / jnp.float32(half_len))
-    return (jnp.float32(coeff) * ((db - gmin) / (gmax - gmin) + addend)).astype(jnp.float32)
+    return scale_log_planar(z_half.real, z_half.imag, half_len, gmin, gmax,
+                            addend, coeff)
 
 
 def scale_lin(z_half: jnp.ndarray, half_len: int, gmin: float, gmax: float,
               addend: float, coeff: float) -> jnp.ndarray:
-    mag = jnp.sqrt(z_half.real**2 + z_half.imag**2) / jnp.float32(half_len)
-    return (jnp.float32(coeff) * ((mag - gmin) / (gmax - gmin) + addend)).astype(jnp.float32)
+    return scale_lin_planar(z_half.real, z_half.imag, half_len, gmin, gmax,
+                            addend, coeff)
 
 
 def bscan_flip(volume: jnp.ndarray) -> jnp.ndarray:

@@ -76,17 +76,69 @@ def build_prep_operator(
     return np.ascontiguousarray(op.T, dtype=np.float32)  # (n_in, n_out)
 
 
+def build_depth_operator(
+    acq: AcqParams,
+    cfg: ProcConfig,
+    resample_matrix: Optional[np.ndarray],
+    window: Optional[np.ndarray],
+    phase: Optional[np.ndarray],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fold the ENTIRE pre-FPN chain -- background, k-linearization, window,
+    dispersion phasor, unnormalized inverse DFT, mirror truncation -- into one
+    complex (n_in, half) operator applied as ``lines @ (re + i im)``.
+
+    The inverse FFT is linear too, so with F[k, j] = exp(+2i pi k j / n)
+    (the unnormalized inverse-DFT rows for the kept half, matching
+    cufftExecC2C(CUFFT_INVERSE), cuda_code.cu:1513-1515):
+
+        z_half = F_half . diag(phasor) . diag(win) . R . (I - M) . decode(raw)
+
+    A dense (1024 x 512) complex GEMM costs ~40x the FLOPs of an FFT but
+    runs on the MXU at full tilt, replaces five memory-bound passes with one,
+    and keeps every intermediate in VMEM -- on TPU this is the
+    speed-of-light formulation for OCT line lengths (and sidesteps FFT
+    support gaps in experimental backends).
+    """
+    n = acq.samples_per_line
+    half = acq.output_ascan_length
+    op = build_prep_operator(acq, cfg, resample_matrix, window)  # (n_in, n_out)
+    opd = op.astype(np.float64).T  # (n_out, n_in)
+    if cfg.dispersion:
+        if phase is None:
+            raise ValueError("dispersion enabled but no phasor given")
+        opd = np.asarray(phase, np.complex128)[:, None] * opd
+    j = np.arange(n, dtype=np.float64)
+    k = np.arange(half, dtype=np.float64)
+    f_half = np.exp(2j * np.pi * np.outer(k, j) / n)  # (half, n_out)
+    total = f_half @ opd                               # (half, n_in) complex
+    total_t = np.ascontiguousarray(total.T)            # (n_in, half)
+    return (total_t.real.astype(np.float32), total_t.imag.astype(np.float32))
+
+
 def _decode_block(x, bit_depth: int, bitshift: bool):
     """In-kernel integer decode (ops.convert.decode numerics,
-    cuda_code.cu:109-147)."""
-    if bit_depth <= 16:
-        if bitshift:
-            x = jax.lax.shift_right_logical(x, jnp.asarray(4, x.dtype))
-        return x.astype(jnp.float32)
-    xf = x.astype(jnp.float32)
+    cuda_code.cu:109-147).
+
+    Mosaic has no direct uint8/uint16 -> float32 cast; route through int32
+    (lossless for <= 16-bit samples).  >16-bit input is decoded outside the
+    kernel (see _predecode)."""
+    if x.dtype == jnp.float32:
+        return x  # already decoded outside the kernel
+    xi = x.astype(jnp.int32)
     if bitshift:
-        xf = xf / jnp.float32(4294967296.0)
-    return xf
+        # shift after the int32 cast: Mosaic cannot legalize shifts on
+        # sub-word unsigned types (arith.shrui on uint16)
+        xi = jax.lax.shift_right_arithmetic(xi, jnp.asarray(4, jnp.int32))
+    return xi.astype(jnp.float32)
+
+
+def _predecode(raw2d, bit_depth: int, bitshift: bool):
+    """Decode outside the kernel when the in-kernel path can't (>16-bit
+    containers, whose uint32 -> int32 cast would wrap)."""
+    if bit_depth > 16:
+        from ..ops.convert import decode
+        return decode(raw2d, bit_depth, bitshift)
+    return raw2d
 
 
 def _kernel_phase(raw_ref, op_ref, cos_ref, sin_ref, re_ref, im_ref,
@@ -100,6 +152,14 @@ def _kernel_phase(raw_ref, op_ref, cos_ref, sin_ref, re_ref, im_ref,
 def _kernel_real(raw_ref, op_ref, out_ref, *, bit_depth: int, bitshift: bool):
     x = _decode_block(raw_ref[:], bit_depth, bitshift)
     out_ref[:] = jnp.dot(x, op_ref[:], preferred_element_type=jnp.float32)
+
+
+def _kernel_depth(raw_ref, wre_ref, wim_ref, re_ref, im_ref,
+                  *, bit_depth: int, bitshift: bool, compute_dtype):
+    """Decode + full-fold depth operator: two GEMMs, nothing else."""
+    x = _decode_block(raw_ref[:], bit_depth, bitshift).astype(compute_dtype)
+    re_ref[:] = jnp.dot(x, wre_ref[:], preferred_element_type=jnp.float32)
+    im_ref[:] = jnp.dot(x, wim_ref[:], preferred_element_type=jnp.float32)
 
 
 def _pick_tile(n_lines: int) -> int:
@@ -159,6 +219,72 @@ def _fused_prep_impl(raw2d, op, cos_row, sin_row, *, bit_depth: int,
     )(raw2d, op)
 
 
+@functools.partial(jax.jit, static_argnames=("bit_depth", "bitshift",
+                                              "compute_dtype", "interpret"))
+def _fused_depth_impl(raw2d, w_re, w_im, *, bit_depth: int, bitshift: bool,
+                      compute_dtype: str, interpret: bool):
+    n_lines, n_in = raw2d.shape
+    half = w_re.shape[1]
+    tile = _pick_tile(n_lines)
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    if compute_dtype == "bfloat16":
+        w_re, w_im = w_re.astype(jnp.bfloat16), w_im.astype(jnp.bfloat16)
+    grid = (n_lines // tile,)
+    line_spec = pl.BlockSpec((tile, n_in), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    op_spec = pl.BlockSpec((n_in, half), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile, half), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_kernel_depth, bit_depth=bit_depth,
+                               bitshift=bitshift, compute_dtype=cdt)
+    re, im = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[line_spec, op_spec, op_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_lines, half), jnp.float32),
+            jax.ShapeDtypeStruct((n_lines, half), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_lines * n_in * half,
+            bytes_accessed=raw2d.size * raw2d.dtype.itemsize
+            + 2 * w_re.size * w_re.dtype.itemsize + 2 * n_lines * half * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(raw2d, w_re, w_im)
+    return re, im
+
+
+def fused_depth_transform(
+    raw: jnp.ndarray,
+    depth_op_re: jnp.ndarray,
+    depth_op_im: jnp.ndarray,
+    acq: AcqParams,
+    cfg: ProcConfig,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Raw uint lines -> truncated depth profiles in one Pallas pass
+    (stages 1-4 + IFFT + truncation).  Returns PLANAR (re, im) float32
+    (..., half) -- no complex64 is ever constructed."""
+    if depth_op_re is None or depth_op_im is None:
+        raise ValueError(
+            "cfg.fft_via_matmul is set but curves.depth_op_* is None -- "
+            "build the curves with the same config (make_curves(acq, cfg, ...))")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lead_shape = raw.shape[:-1]
+    raw2d = _predecode(raw.reshape(-1, raw.shape[-1]), acq.bit_depth, cfg.bitshift)
+    re, im = _fused_depth_impl(raw2d, depth_op_re, depth_op_im,
+                               bit_depth=acq.bit_depth, bitshift=cfg.bitshift,
+                               compute_dtype=cfg.compute_dtype,
+                               interpret=interpret)
+    half = re.shape[-1]
+    return re.reshape(*lead_shape, half), im.reshape(*lead_shape, half)
+
+
 def fused_prep(
     raw: jnp.ndarray,
     prep_operator: jnp.ndarray,
@@ -181,7 +307,7 @@ def fused_prep(
         interpret = jax.default_backend() != "tpu"
     lead_shape = raw.shape[:-1]
     n_in = raw.shape[-1]
-    raw2d = raw.reshape(-1, n_in)
+    raw2d = _predecode(raw.reshape(-1, n_in), acq.bit_depth, cfg.bitshift)
     if phase is not None:
         cos_row = jnp.real(phase).reshape(1, -1)
         sin_row = jnp.imag(phase).reshape(1, -1)

@@ -81,18 +81,21 @@ def make_mesh(
 # Sharded fixed-pattern-noise statistics
 # ---------------------------------------------------------------------------
 
-def _sharded_fpn_mean_line(z_half_local: jnp.ndarray, acq: AcqParams,
-                           cfg: ProcConfig) -> jnp.ndarray:
+def _sharded_fpn_mean_line(z_re_local: jnp.ndarray, z_im_local: jnp.ndarray,
+                           acq: AcqParams, cfg: ProcConfig
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Minimum-variance mean line from psum-combined per-shard statistics.
 
-    z_half_local: complex64 (B_loc, A_loc, depth) — this shard's block.
-    Numerics match getMinimumVarianceMean (cuda_code.cu:523-565): the first
-    ``n_noise = bscans_for_noise * ascans_per_bscan`` *global* lines are split
-    into FPN_SEGMENTS segments of ``n_noise // FPN_SEGMENTS`` consecutive
-    lines; per depth index the mean of the minimum-variance segment wins.
+    z_re/im_local: float32 (B_loc, A_loc, depth) — this shard's block
+    (planar re/im; no complex arrays so the path runs on backends without
+    complex support).  Numerics match getMinimumVarianceMean
+    (cuda_code.cu:523-565): the first ``n_noise = bscans_for_noise *
+    ascans_per_bscan`` *global* lines are split into FPN_SEGMENTS segments of
+    ``n_noise // FPN_SEGMENTS`` consecutive lines; per depth index the mean
+    of the minimum-variance segment wins.  Returns (mean_re, mean_im).
     """
     segs = FPN_SEGMENTS
-    b_loc, a_loc, depth = z_half_local.shape
+    b_loc, a_loc, depth = z_re_local.shape
     ib = lax.axis_index(AXIS_BSCAN)
     ia = lax.axis_index(AXIS_ASCAN)
 
@@ -110,21 +113,16 @@ def _sharded_fpn_mean_line(z_half_local: jnp.ndarray, acq: AcqParams,
     onehot = ((seg_id[None, :] == jnp.arange(segs, dtype=jnp.int32)[:, None])
               & valid[None, :]).astype(jnp.float32)          # (segs, L_loc)
 
-    lines = z_half_local.reshape(-1, depth)                   # (L_loc, depth)
-    sum_re = onehot @ lines.real
-    sum_im = onehot @ lines.imag
-    sum_sq = onehot @ (lines.real ** 2 + lines.imag ** 2)     # (segs, depth)
+    lre = z_re_local.reshape(-1, depth)                       # (L_loc, depth)
+    lim = z_im_local.reshape(-1, depth)
+    sum_re = onehot @ lre
+    sum_im = onehot @ lim
+    sum_sq = onehot @ (lre ** 2 + lim ** 2)                   # (segs, depth)
 
     sum_re, sum_im, sum_sq = lax.psum(
         (sum_re, sum_im, sum_sq), (AXIS_BSCAN, AXIS_ASCAN))
 
-    factor = jnp.float32(1.0 / seg_width)
-    mean_re = sum_re * factor
-    mean_im = sum_im * factor
-    variance = sum_sq * factor - (mean_re ** 2 + mean_im ** 2)
-    best = jnp.argmin(variance, axis=0)                        # (depth,)
-    take = lambda m: jnp.take_along_axis(m, best[None, :], axis=0)[0]
-    return take(mean_re) + 1j * take(mean_im)
+    return _fpn.select_min_variance_mean_planar(sum_re, sum_im, sum_sq, seg_width)
 
 
 # ---------------------------------------------------------------------------
@@ -142,24 +140,29 @@ def _core_local(raw_local: jnp.ndarray, curves: Curves, fpn_state: FpnState,
     determination is negligible next to the FFT.
     """
     half = acq.output_ascan_length
-    spectra = _pipeline.prep_spectra(raw_local, curves, acq, cfg)
-    z_half = _pipeline.transform_to_depth(spectra, half)
+    if cfg.fft_via_matmul:
+        from ..pallas.fused_prep import fused_depth_transform
+        z_re, z_im = fused_depth_transform(raw_local, curves.depth_op_re,
+                                           curves.depth_op_im, acq, cfg)
+    else:
+        spectra = _pipeline.prep_spectra(raw_local, curves, acq, cfg)
+        z_half = _pipeline.transform_to_depth(spectra, half)
+        z_re, z_im = z_half.real, z_half.imag
 
     if cfg.fpn_mode != FpnMode.OFF:
-        computed = _sharded_fpn_mean_line(z_half, acq, cfg)
+        computed = FpnState.pack(*_sharded_fpn_mean_line(z_re, z_im, acq, cfg))
         if cfg.fpn_mode == FpnMode.CONTINUOUS:
             mean_line = computed
         else:  # ONCE (cuda_code.cu:1521-1524)
             mean_line = jnp.where(fpn_state.determined, fpn_state.mean_line, computed)
         fpn_state = FpnState(mean_line=mean_line, determined=jnp.ones((), jnp.bool_))
-        z_half = _fpn.subtract_mean_line(z_half, mean_line)
+        z_re = z_re - mean_line[0]
+        z_im = z_im - mean_line[1]
 
-    if cfg.log_scaling:
-        mag = _postprocess.scale_log(z_half, half, cfg.grayscale_min,
-                                     cfg.grayscale_max, cfg.addend, cfg.multiplicator)
-    else:
-        mag = _postprocess.scale_lin(z_half, half, cfg.grayscale_min,
-                                     cfg.grayscale_max, cfg.addend, cfg.multiplicator)
+    scale = (_postprocess.scale_log_planar if cfg.log_scaling
+             else _postprocess.scale_lin_planar)
+    mag = scale(z_re, z_im, half, cfg.grayscale_min, cfg.grayscale_max,
+                cfg.addend, cfg.multiplicator)
     return mag, fpn_state
 
 

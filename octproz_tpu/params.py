@@ -198,6 +198,11 @@ class ProcConfig:
     # background/resample/window operator GEMM + phasor epilogue); the analog
     # of the reference's triple-fused kernels (cuda_code.cu:413-489).
     use_pallas_prep: bool = False
+    # Fold the inverse DFT + truncation into the operator as well: the whole
+    # pre-FPN chain becomes one complex (n, half) GEMM per line (Pallas,
+    # MXU).  ~40x the FLOPs of an FFT but one fused memory pass; the fastest
+    # formulation for OCT line lengths on TPU.  Supersedes use_pallas_prep.
+    fft_via_matmul: bool = False
 
     def __post_init__(self):
         if self.rolling_average_window < 1:
@@ -235,6 +240,8 @@ class Curves:
     resample_curve: Optional[jax.Array] = None     # float32[n]
     resample_matrix: Optional[jax.Array] = None    # float32[n, n] (row j = weights)
     prep_operator: Optional[jax.Array] = None      # float32[n_in, n_out] folded
+    depth_op_re: Optional[jax.Array] = None        # float32[n_in, half] full fold
+    depth_op_im: Optional[jax.Array] = None        # float32[n_in, half]
     window: Optional[jax.Array] = None             # float32[n]
     phase: Optional[jax.Array] = None              # complex64[n] = exp(+i*phi)
     sinusoidal_curve: Optional[jax.Array] = None   # float32[ascans_per_bscan]
@@ -251,12 +258,23 @@ class FpnState:
     functional formulation the jitted step threads this state explicitly.
     """
 
-    mean_line: jax.Array   # complex64[samples_per_line]
+    #: planar storage (re, im) so the state never materializes complex64 --
+    #: required for TPU backends without complex support and cheaper on TPU
+    #: anyway (no interleaved layout)
+    mean_line: jax.Array   # float32[2, width] -- [0]=re, [1]=im
     determined: jax.Array  # bool[] -- True once a mean line has been computed
 
     @staticmethod
     def initial(samples_per_line: int) -> "FpnState":
         return FpnState(
-            mean_line=jnp.zeros((samples_per_line,), jnp.complex64),
+            mean_line=jnp.zeros((2, samples_per_line), jnp.float32),
             determined=jnp.zeros((), jnp.bool_),
         )
+
+    @property
+    def mean_line_complex(self) -> jax.Array:
+        return jax.lax.complex(self.mean_line[0], self.mean_line[1])
+
+    @staticmethod
+    def pack(mean_re: jax.Array, mean_im: jax.Array) -> jax.Array:
+        return jnp.stack([mean_re, mean_im])

@@ -83,28 +83,38 @@ def transform_to_depth(spectra: jnp.ndarray, half: int) -> jnp.ndarray:
     return fft.ifft_spectra_real_half(spectra, half)
 
 
-def apply_fpn(z_half: jnp.ndarray, state: FpnState, acq: AcqParams,
-              cfg: ProcConfig) -> Tuple[jnp.ndarray, FpnState]:
+def apply_fpn_planar(z_re: jnp.ndarray, z_im: jnp.ndarray, state: FpnState,
+                     acq: AcqParams, cfg: ProcConfig
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, FpnState]:
     """Stage 5: fixed-pattern-noise removal with carried mean-line state.
 
-    The statistics use the first ``bscans_for_noise * ascans_per_bscan``
-    A-scans of the buffer (cuda_code.cu:1519-1522); we compute them on the
-    truncated half, which is exactly the part the subtraction consumes.
+    Planar (re, im) formulation -- no complex64 arrays, so this runs on TPU
+    backends without complex support.  The statistics use the first
+    ``bscans_for_noise * ascans_per_bscan`` A-scans of the buffer
+    (cuda_code.cu:1519-1522), computed on the truncated half (exactly the
+    part the subtraction consumes).
     """
+    width = z_re.shape[-1]
     n_noise_lines = min(cfg.bscans_for_noise, acq.bscans_per_buffer) * acq.ascans_per_bscan
-    lines = z_half.reshape(-1, z_half.shape[-1])[:n_noise_lines]
+    lines_re = z_re.reshape(-1, width)[:n_noise_lines]
+    lines_im = z_im.reshape(-1, width)[:n_noise_lines]
+
+    def compute():
+        return FpnState.pack(*fpn.minimum_variance_mean_planar(lines_re, lines_im))
 
     if cfg.fpn_mode == FpnMode.CONTINUOUS:
-        mean_line = fpn.minimum_variance_mean(lines)
-        new_state = FpnState(mean_line=mean_line, determined=jnp.ones((), jnp.bool_))
+        mean = compute()
     else:  # ONCE: reuse once determined (cuda_code.cu:1521-1524)
-        mean_line = jax.lax.cond(
-            state.determined,
-            lambda: state.mean_line,
-            lambda: fpn.minimum_variance_mean(lines),
-        )
-        new_state = FpnState(mean_line=mean_line, determined=jnp.ones((), jnp.bool_))
-    return fpn.subtract_mean_line(z_half, mean_line), new_state
+        mean = jax.lax.cond(state.determined, lambda: state.mean_line, compute)
+    new_state = FpnState(mean_line=mean, determined=jnp.ones((), jnp.bool_))
+    return z_re - mean[0], z_im - mean[1], new_state
+
+
+def apply_fpn(z_half: jnp.ndarray, state: FpnState, acq: AcqParams,
+              cfg: ProcConfig) -> Tuple[jnp.ndarray, FpnState]:
+    """Complex-array wrapper around :func:`apply_fpn_planar`."""
+    re, im, new_state = apply_fpn_planar(z_half.real, z_half.imag, state, acq, cfg)
+    return jax.lax.complex(re, im), new_state
 
 
 def postprocess_volume(mag: jnp.ndarray, curves: Curves, cfg: ProcConfig) -> jnp.ndarray:
@@ -130,6 +140,21 @@ def process_buffer(
     """Full per-buffer step: raw uint (bscans, ascans, samples) ->
     (processed float32 (bscans, ascans, samples//2), new FPN state)."""
     half = acq.output_ascan_length
+
+    if cfg.fft_via_matmul:
+        # fully planar path: no complex64 anywhere (runs on TPU backends
+        # without complex support)
+        from .pallas.fused_prep import fused_depth_transform
+        z_re, z_im = fused_depth_transform(raw, curves.depth_op_re,
+                                           curves.depth_op_im, acq, cfg)
+        if cfg.fpn_mode != FpnMode.OFF:
+            z_re, z_im, fpn_state = apply_fpn_planar(z_re, z_im, fpn_state,
+                                                     acq, cfg)
+        scale = (postprocess.scale_log_planar if cfg.log_scaling
+                 else postprocess.scale_lin_planar)
+        mag = scale(z_re, z_im, half, cfg.grayscale_min, cfg.grayscale_max,
+                    cfg.addend, cfg.multiplicator)
+        return postprocess_volume(mag, curves, cfg), fpn_state
 
     spectra = prep_spectra(raw, curves, acq, cfg)
     z_half = transform_to_depth(spectra, half)

@@ -81,6 +81,50 @@ def test_fused_odd_line_count(rng):
     _compare(cfg, rng, acq=acq)
 
 
+@pytest.mark.parametrize("dispersion", [True, False])
+def test_depth_operator_full_fold(dispersion, rng):
+    """fft_via_matmul: decode..IFFT..truncate as ONE complex GEMM must match
+    the staged pipeline."""
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.CUBIC,
+                     windowing=True, dispersion=dispersion,
+                     background_removal=True, rolling_average_window=16,
+                     fpn_mode=FpnMode.OFF, log_scaling=True)
+    fold_cfg = dataclasses.replace(cfg, fft_via_matmul=True)
+    kw = dict(resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 10.0, -4.0),
+              dispersion_coeffs=(0.0, 0.0, 8.0, 0.0),
+              window_type=WindowType.HANNING)
+    c_base = curves_mod.make_curves(ACQ, cfg, **kw)
+    c_fold = curves_mod.make_curves(ACQ, fold_cfg, **kw)
+    raw = jnp.asarray(_raw(rng))
+    state = pipeline.initial_fpn_state(ACQ)
+    want, _ = pipeline.process_buffer(raw, c_base, state, ACQ, cfg)
+    got, _ = pipeline.process_buffer(raw, c_fold, state, ACQ, fold_cfg)
+    # final B-scan surface comparison (log scale amplifies tiny absolute
+    # diffs at near-zero bins; compare on the clipped display range)
+    w = np.clip(np.asarray(want), 0.0, 1.0)
+    g = np.clip(np.asarray(got), 0.0, 1.0)
+    psnr = 10 * np.log10(1.0 / max(np.mean((w - g) ** 2), 1e-30))
+    assert psnr > 60.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_depth_operator_fpn_once(rng):
+    """Full fold composes with FPN carried state."""
+    # bscans_for_noise=2 -> 32 noise lines / 9 segments, width 3: avoids the
+    # degenerate width-1 case where a single-line segment has zero variance
+    # and subtracts itself to exactly zero (-inf after log; the reference
+    # behaves identically there)
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.LINEAR,
+                     windowing=True, dispersion=True, fpn_mode=FpnMode.ONCE,
+                     bscans_for_noise=2, log_scaling=True, fft_via_matmul=True)
+    curves = curves_mod.make_curves(
+        ACQ, cfg, resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 0.0, 0.0))
+    raw = jnp.asarray(_raw(rng))
+    state = pipeline.initial_fpn_state(ACQ)
+    out, state = pipeline.process_buffer(raw, curves, state, ACQ, cfg)
+    assert bool(state.determined)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_fused_full_pipeline_end_to_end(rng):
     """Whole process_buffer parity with the fused prep enabled."""
     cfg = ProcConfig(resampling=True, interpolation=Interpolation.CUBIC,
