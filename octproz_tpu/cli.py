@@ -174,6 +174,15 @@ def cmd_process(args) -> int:
         print(f"wrote {p}", file=sys.stderr)
     if args.render_png is not None:
         _render_to_png(volume, args.render_png, args.render_mode, lut)
+    if args.plot_png is not None:
+        from .viz import plot_lines, select_line
+
+        raw_line = select_line(src.read_buffer(0), args.frame % acq.bscans_per_buffer,
+                               args.plot_ascan).astype(np.float64)
+        proc_line = select_line(volume, args.frame, args.plot_ascan)
+        p = plot_lines(args.plot_png, raw_line=raw_line, processed_line=proc_line,
+                       title=f"B-scan {args.frame}, A-scan {args.plot_ascan}")
+        print(f"wrote {p}", file=sys.stderr)
     return 0
 
 
@@ -268,6 +277,9 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["isosurface", "alpha_blending", "mip", "depth_mip",
                              "mida", "xray", "oct_depth"])
     pp.add_argument("--lut", default=None)
+    pp.add_argument("--plot-png", default=None,
+                    help="1D raw-spectrum + processed A-scan plot")
+    pp.add_argument("--plot-ascan", type=int, default=0)
     pp.set_defaults(fn=cmd_process)
 
     pr = sub.add_parser("replay", help="stream a file through the runtime")
