@@ -7,7 +7,7 @@ acq = AcqParams(samples_per_line=1024, ascans_per_bscan=512,
                 bscans_per_buffer=256, buffers_per_volume=1, bit_depth=12)
 cfg = ProcConfig(bitshift=True, resampling=True, interpolation=Interpolation.CUBIC,
                  windowing=True, dispersion=True, fpn_mode=FpnMode.OFF,
-                 log_scaling=True, fft_via_matmul=True)
+                 log_scaling=True, fft_via_matmul=True, fold_backend="xla")
 curves = curves_mod.make_curves(acq, cfg,
     resample_coeffs=(0.0, 1023.0, 20.0, -10.0),
     dispersion_coeffs=(0.0, 0.0, 10.0, 0.0), window_type=WindowType.HANNING)

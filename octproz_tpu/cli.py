@@ -209,9 +209,25 @@ def cmd_replay(args) -> int:
                            packed_12bit=args.packed_12bit,
                            copy_to_ram=not args.stream_from_disk)
     console = MessageConsole(echo=True)
-    eng = StreamingEngine(model, src, stream_to_host=args.stream,
+    stream = args.stream or (args.record and args.record_processed)
+    eng = StreamingEngine(model, src, stream_to_host=stream,
                           streaming_skip=args.skip, on_info=console.info,
                           metrics_window_s=args.metrics_window)
+    if args.record:
+        from .io.recorder import RecordingParams
+
+        params = RecordingParams(
+            save_dir=args.record_dir, name=args.record_name,
+            buffers_to_record=args.record_buffers,
+            start_with_first_buffer_of_volume=args.record_start_with_volume,
+            save_raw=args.record_raw or not args.record_processed,
+            save_processed=args.record_processed,
+            save_as_32bit_float=args.record_float32)
+        if args.schedule_interval is not None:
+            eng.schedule_recordings(params, interval_s=args.schedule_interval,
+                                    total=args.schedule_total)
+        else:
+            eng.start_recording(params)
     t0 = time.perf_counter()
     n = eng.run(max_buffers=args.max_buffers)
     dt = time.perf_counter() - t0
@@ -292,6 +308,19 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--stream", action="store_true", help="fetch processed data")
     pr.add_argument("--skip", type=int, default=0, help="streaming buffers to skip")
     pr.add_argument("--metrics-window", type=float, default=5.0)
+    rec = pr.add_argument_group("recording (octprozapp.cpp:215-299 analog)")
+    rec.add_argument("--record", action="store_true")
+    rec.add_argument("--record-dir", default=".")
+    rec.add_argument("--record-name", default="recording")
+    rec.add_argument("--record-buffers", type=int, default=1)
+    rec.add_argument("--record-raw", action="store_true")
+    rec.add_argument("--record-processed", action="store_true")
+    rec.add_argument("--record-float32", action="store_true",
+                     help="record processed data as float32 instead of quantized")
+    rec.add_argument("--record-start-with-volume", action="store_true")
+    rec.add_argument("--schedule-interval", type=float, default=None,
+                     help="record a time series every N seconds")
+    rec.add_argument("--schedule-total", type=int, default=1)
     pr.set_defaults(fn=cmd_replay)
 
     pv = sub.add_parser("render", help="render a processed float32 volume")

@@ -84,6 +84,10 @@ class Recorder:
         fname = f"{self._start_ts}_{p.name}_{self.name}_{dtype_tag}_" \
                 f"{data.shape[-1]}x{data.shape[-2]}x{data.shape[0]*data.shape[1]}.raw"
         path = os.path.join(p.save_dir, fname)
+        seq = 1
+        while os.path.exists(path):  # scheduled series within one second
+            seq += 1
+            path = os.path.join(p.save_dir, fname[:-4] + f"_{seq}.raw")
         data.tofile(path)
         self.last_file = path
         self.recording = False

@@ -277,10 +277,21 @@ def fused_depth_transform(
         interpret = jax.default_backend() != "tpu"
     lead_shape = raw.shape[:-1]
     raw2d = _predecode(raw.reshape(-1, raw.shape[-1]), acq.bit_depth, cfg.bitshift)
-    re, im = _fused_depth_impl(raw2d, depth_op_re, depth_op_im,
-                               bit_depth=acq.bit_depth, bitshift=cfg.bitshift,
-                               compute_dtype=cfg.compute_dtype,
-                               interpret=interpret)
+    if cfg.fold_backend == "xla":
+        # plain-XLA route: same operator, jnp matmuls; XLA fuses the integer
+        # decode into the GEMM operand read
+        x = _decode_block(raw2d, acq.bit_depth, cfg.bitshift)
+        if cfg.compute_dtype == "bfloat16":
+            x = x.astype(jnp.bfloat16)
+            depth_op_re = depth_op_re.astype(jnp.bfloat16)
+            depth_op_im = depth_op_im.astype(jnp.bfloat16)
+        re = jnp.matmul(x, depth_op_re, preferred_element_type=jnp.float32)
+        im = jnp.matmul(x, depth_op_im, preferred_element_type=jnp.float32)
+    else:
+        re, im = _fused_depth_impl(raw2d, depth_op_re, depth_op_im,
+                                   bit_depth=acq.bit_depth, bitshift=cfg.bitshift,
+                                   compute_dtype=cfg.compute_dtype,
+                                   interpret=interpret)
     half = re.shape[-1]
     return re.reshape(*lead_shape, half), im.reshape(*lead_shape, half)
 

@@ -203,6 +203,9 @@ class ProcConfig:
     # MXU).  ~40x the FLOPs of an FFT but one fused memory pass; the fastest
     # formulation for OCT line lengths on TPU.  Supersedes use_pallas_prep.
     fft_via_matmul: bool = False
+    # Execution backend for the folded GEMM: "pallas" (hand-fused kernel) or
+    # "xla" (plain jnp matmuls; XLA fuses the decode into the GEMM operand).
+    fold_backend: str = "pallas"
 
     def __post_init__(self):
         if self.rolling_average_window < 1:

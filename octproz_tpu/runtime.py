@@ -205,6 +205,8 @@ class StreamingEngine:
 
         self.raw_recorder = Recorder("raw")
         self.processed_recorder = Recorder("processed")
+        self._record_as_float = False
+        self.scheduler = None  # optional RecordingScheduler (see schedule_recordings)
         self.meter = ThroughputMeter(model.acq, metrics_window_s)
         self.running = False
         self._stop_requested = threading.Event()
@@ -218,11 +220,29 @@ class StreamingEngine:
             self.raw_recorder.start(params, ts)
         if params.save_processed:
             self.processed_recorder.start(params, ts)
+            self._record_as_float = params.save_as_32bit_float
         if params.save_meta:
             import os
             write_meta(os.path.join(params.save_dir, f"{ts}_{params.name}"),
                        self.model.acq, self.model.cfg, params)
         self.on_info(f"recording started: {params.name}")
+
+    def schedule_recordings(self, params: RecordingParams, delay_s: float = 0.0,
+                            interval_s: float = 60.0, total: int = 1,
+                            retry_s: float = 10.0) -> None:
+        """Timer-driven recording series (RecordingScheduler analog,
+        recordingscheduler.cpp:131-155); polled from the run loop."""
+        from .io.recorder import RecordingScheduler
+
+        def start() -> bool:
+            if self.recording:
+                return False  # overlap protection
+            self.start_recording(params)
+            return True
+
+        self.scheduler = RecordingScheduler(start, delay_s, interval_s, total,
+                                            retry_s)
+        self.scheduler.start()
 
     @property
     def recording(self) -> bool:
@@ -270,9 +290,15 @@ class StreamingEngine:
 
                 processed = self.model.process_buffer(raw)  # async dispatch
 
+                # float32 processed recording bypasses quantization
+                # (streamProcessedFloatData analog, cuda_code.cu:1374-1386)
+                record_float = (self.processed_recorder.recording
+                                and self._record_as_float)
                 fetch = (self.stream_to_host
                          and processed_count % (self.streaming_skip + 1) == 0)
-                if fetch:
+                if record_float:
+                    in_flight.append((buffer_nr, processed))
+                elif fetch:
                     in_flight.append((buffer_nr, self._quantize(processed)))
                 else:
                     in_flight.append((buffer_nr, None))
@@ -281,6 +307,8 @@ class StreamingEngine:
                     self._drain_one(in_flight)
 
                 processed_count += 1
+                if self.scheduler is not None and self.scheduler.active:
+                    self.scheduler.poll()
                 stats = self.meter.tick()
                 if stats is not None:
                     self.on_info(stats.info_line())

@@ -107,6 +107,21 @@ def test_depth_operator_full_fold(dispersion, rng):
     assert psnr > 60.0, f"PSNR {psnr:.1f} dB"
 
 
+def test_depth_operator_xla_backend_matches_pallas(rng):
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.CUBIC,
+                     windowing=True, dispersion=True, fpn_mode=FpnMode.OFF,
+                     log_scaling=True, fft_via_matmul=True)
+    xla_cfg = dataclasses.replace(cfg, fold_backend="xla")
+    kw = dict(resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 10.0, -4.0),
+              dispersion_coeffs=(0.0, 0.0, 8.0, 0.0))
+    curves = curves_mod.make_curves(ACQ, cfg, **kw)
+    raw = jnp.asarray(_raw(rng))
+    state = pipeline.initial_fpn_state(ACQ)
+    a, _ = pipeline.process_buffer(raw, curves, state, ACQ, cfg)
+    b, _ = pipeline.process_buffer(raw, curves, state, ACQ, xla_cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_depth_operator_fpn_once(rng):
     """Full fold composes with FPN carried state."""
     # bscans_for_noise=2 -> 32 noise lines / 9 segments, width 3: avoids the

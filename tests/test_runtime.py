@@ -112,6 +112,34 @@ def test_recording_raw_and_processed(tmp_path):
     assert proc_data.size == 2 * ACQ.ascans_per_buffer * ACQ.output_ascan_length
 
 
+def test_recording_float32(tmp_path):
+    eng = make_engine(n_buffers=4)
+    params = RecordingParams(save_dir=str(tmp_path), name="f",
+                             buffers_to_record=2, save_raw=False,
+                             save_processed=True, save_as_32bit_float=True,
+                             save_meta=False)
+    eng.start_recording(params)
+    eng.run()
+    procs = glob.glob(str(tmp_path / "*_processed_float32_*.raw"))
+    assert len(procs) == 1
+    data = np.fromfile(procs[0], dtype=np.float32)
+    assert data.size == 2 * ACQ.ascans_per_buffer * ACQ.output_ascan_length
+    assert np.isfinite(data).all()
+
+
+def test_scheduled_recording_series(tmp_path):
+    eng = make_engine(n_buffers=60)
+    params = RecordingParams(save_dir=str(tmp_path), name="s",
+                             buffers_to_record=1, save_raw=True,
+                             save_meta=False)
+    # interval 0 -> a new recording becomes due immediately after each ends
+    eng.schedule_recordings(params, interval_s=0.0, total=3)
+    eng.run()
+    raws = glob.glob(str(tmp_path / "*_raw_*.raw"))
+    assert len(raws) == 3
+    assert eng.scheduler.done == 3 and not eng.scheduler.active
+
+
 def test_source_error_propagates():
     class BadSource:
         acq = ACQ
