@@ -12,13 +12,20 @@ Measures steady-state device throughput: raw buffers pre-staged in HBM
 octproz_tpu/runtime.py), per-buffer jitted step, wall clock over many
 buffers after warmup.  Prints ONE json line.
 
+Backend strategy: tries the hand-fused Pallas fold kernel first, falls back
+to the plain-XLA fold (same operator, jnp matmuls) if the Pallas path fails
+on the current backend.  Both run the whole pre-FPN chain as one planar
+GEMM (pallas/fused_prep.build_depth_operator) — the TPU-native formulation.
+
 Baseline: 3.40 MHz A-scans/s — reference v1.8.0 on a GTX 1080 without live
 3D view (README.md:48-53), the headline number of the reference.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
+import sys
 import time
 
 import numpy as np
@@ -27,26 +34,16 @@ import numpy as np
 BASELINE_MHZ = 3.40
 
 
-def main() -> None:
+def _run(cfg, n_iters: int = 40) -> float:
     import jax
     import jax.numpy as jnp
 
     from octproz_tpu import curves as curves_mod
     from octproz_tpu import pipeline
-    from octproz_tpu.params import AcqParams, FpnMode, Interpolation, ProcConfig, WindowType
+    from octproz_tpu.params import AcqParams, WindowType
 
     acq = AcqParams(samples_per_line=1024, ascans_per_bscan=512,
                     bscans_per_buffer=256, buffers_per_volume=1, bit_depth=12)
-    cfg = ProcConfig(
-        bitshift=True,
-        resampling=True, interpolation=Interpolation.CUBIC,
-        windowing=True, dispersion=True,
-        fpn_mode=FpnMode.ONCE, bscans_for_noise=1,
-        log_scaling=True,
-        # the whole pre-FPN chain as one planar complex GEMM on the MXU
-        # (pallas/fused_prep.build_depth_operator)
-        fft_via_matmul=True,
-    )
     curves = curves_mod.make_curves(
         acq, cfg,
         resample_coeffs=(0.0, float(acq.samples_per_line - 1), 20.0, -10.0),
@@ -67,31 +64,55 @@ def main() -> None:
 
     # Warmup: compile + FPN determination; materialize to prove execution.
     out, state = step(ring[0], curves, state)
-    probe = float(np.asarray(out[0, 0, 0]))
-    if not np.isfinite(probe) and not probe == probe:  # allow any finite/NaN value
-        raise RuntimeError("warmup produced no value")
+    float(np.asarray(out[0, 0, 5]))  # raises if the backend cannot execute
 
     # Timed steady-state run.  Every step's output feeds a scalar
-    # accumulator that is fetched to host inside the timed region, so the
+    # accumulator that is fetched to host once at the end, so the
     # measurement is robust even on backends where block_until_ready does
     # not guarantee execution (single final transfer, no per-buffer sync).
-    n_iters = 40
     acc = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
     for i in range(n_iters):
         out, state = step(ring[i % len(ring)], curves, state)
-        acc = acc + out[0, 0, 0]
-    acc_val = float(np.asarray(acc))
+        acc = acc + out[0, 0, 5]
+    float(np.asarray(acc))  # materialize inside the timed region
     elapsed = time.perf_counter() - t0
-    assert acc_val == acc_val or True  # materialized; value itself is irrelevant
+    return n_iters * acq.ascans_per_buffer / elapsed / 1e6
 
-    ascans = n_iters * acq.ascans_per_buffer
-    rate_mhz = ascans / elapsed / 1e6
+
+def main() -> None:
+    from octproz_tpu.cli import enable_compilation_cache
+    from octproz_tpu.params import FpnMode, Interpolation, ProcConfig
+
+    enable_compilation_cache()
+
+    base = ProcConfig(
+        bitshift=True,
+        resampling=True, interpolation=Interpolation.CUBIC,
+        windowing=True, dispersion=True,
+        fpn_mode=FpnMode.ONCE, bscans_for_noise=1,
+        log_scaling=True,
+        fft_via_matmul=True,
+    )
+    rate_mhz = None
+    backend_used = None
+    for backend in ("pallas", "xla"):
+        try:
+            rate_mhz = _run(dataclasses.replace(base, fold_backend=backend))
+            backend_used = backend
+            break
+        except Exception as e:
+            print(f"bench: fold_backend={backend} failed: "
+                  f"{type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
+    if rate_mhz is None:
+        raise SystemExit("bench: no backend could execute the pipeline")
+
     print(json.dumps({
         "metric": "equivalent_ascan_rate",
         "value": round(rate_mhz, 3),
         "unit": "MHz",
         "vs_baseline": round(rate_mhz / BASELINE_MHZ, 3),
+        "fold_backend": backend_used,
     }))
 
 

@@ -347,8 +347,31 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def enable_compilation_cache() -> None:
+    """Persist compiled executables across processes.
+
+    On the axon TPU tunnel a first compile takes minutes; the persistent
+    cache makes every subsequent process start in seconds.  (The compile-
+    cache-explosion management the reference's 12-way kernel dispatch table
+    needs, done the JAX way.)"""
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "OCTPROZ_TPU_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "octproz_tpu", "jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization, never a requirement
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    enable_compilation_cache()
     try:
         return args.fn(args)
     except FileNotFoundError as e:

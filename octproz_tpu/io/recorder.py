@@ -39,6 +39,8 @@ class RecordingParams:
     save_processed: bool = False
     save_as_32bit_float: bool = False
     save_meta: bool = True
+    save_screenshots: bool = False   # B-scan/en-face/volume PNGs at finish
+                                     # (octprozapp.cpp:266-292 analog)
     description: str = ""
 
 

@@ -279,8 +279,12 @@ def fused_depth_transform(
     raw2d = _predecode(raw.reshape(-1, raw.shape[-1]), acq.bit_depth, cfg.bitshift)
     if cfg.fold_backend == "xla":
         # plain-XLA route: same operator, jnp matmuls; XLA fuses the integer
-        # decode into the GEMM operand read
-        x = _decode_block(raw2d, acq.bit_depth, cfg.bitshift)
+        # decode into the GEMM operand read.  Direct uintN->f32 cast: the
+        # int32 hop is a Mosaic-only workaround and is itself UNIMPLEMENTED
+        # on the axon backend.
+        from ..ops.convert import decode
+        x = raw2d if raw2d.dtype == jnp.float32 else decode(
+            raw2d, acq.bit_depth, cfg.bitshift)
         if cfg.compute_dtype == "bfloat16":
             x = x.astype(jnp.bfloat16)
             depth_op_re = depth_op_re.astype(jnp.bfloat16)

@@ -331,7 +331,38 @@ class StreamingEngine:
         host = np.asarray(dev)  # D2H fetch (the gpu2hostnotifier moment)
         if self.processed_recorder.recording:
             self.processed_recorder.record_buffer(host, buffer_nr)
+            if (not self.processed_recorder.recording
+                    and self._params_want_screenshots()):
+                self._save_screenshots(host)
         self.extensions.feed_processed(host, self.model.acq,
                                        self.streaming_bit_depth, buffer_nr)
         if self.on_processed:
             self.on_processed(host, buffer_nr)
+
+    def _params_want_screenshots(self) -> bool:
+        p = self.processed_recorder._params
+        return bool(p and p.save_screenshots and
+                    self.processed_recorder.last_file)
+
+    def _save_screenshots(self, host_buffer: np.ndarray) -> None:
+        """B-scan + en-face + MIP render PNGs next to the recording
+        (screenshot fan-out analog, octprozapp.cpp:266-292)."""
+        from .viz import (RenderMode, RenderParams, render_volume,
+                          save_bscan_png, save_enface_png, save_png)
+
+        base = self.processed_recorder.last_file[:-4]
+        vol = host_buffer.astype(np.float32)
+        if np.issubdtype(host_buffer.dtype, np.integer):
+            vol = vol / float(np.iinfo(host_buffer.dtype).max)
+        try:
+            save_bscan_png(base + "_bscan.png", vol,
+                           frame_nr=vol.shape[0] // 2)
+            save_enface_png(base + "_enface.png", vol,
+                            depth_nr=vol.shape[2] // 2)
+            img = render_volume(vol, RenderParams(mode=RenderMode.MIP,
+                                                  step_length=0.02),
+                                yaw=0.5, pitch=0.4, out_shape=(256, 256))
+            save_png(base + "_volume.png", img)
+            self.on_info(f"screenshots saved: {base}_*.png")
+        except Exception as e:  # screenshots must never kill the stream
+            self.on_info(f"screenshot saving failed: {e}")
