@@ -189,6 +189,7 @@ class StreamingEngine:
         metrics_window_s: float = 5.0,
         on_metrics: Optional[Callable[[ThroughputStats], None]] = None,
         on_processed: Optional[Callable[[np.ndarray, int], None]] = None,
+        on_volume: Optional[Callable[[np.ndarray, int], None]] = None,
         on_info: Optional[Callable[[str], None]] = None,
     ):
         self.model = model
@@ -207,6 +208,11 @@ class StreamingEngine:
         self.processed_recorder = Recorder("processed")
         self._record_as_float = False
         self.scheduler = None  # optional RecordingScheduler (see schedule_recordings)
+        self.assembler = None  # d_processedBuffer analog (cuda_code.cu:1530-1535)
+        if on_volume is not None:
+            from .io.volume import VolumeAssembler
+
+            self.assembler = VolumeAssembler(model.acq, on_volume=on_volume)
         self.meter = ThroughputMeter(model.acq, metrics_window_s)
         self.running = False
         self._stop_requested = threading.Event()
@@ -336,6 +342,11 @@ class StreamingEngine:
                 self._save_screenshots(host)
         self.extensions.feed_processed(host, self.model.acq,
                                        self.streaming_bit_depth, buffer_nr)
+        if self.assembler is not None:
+            vol = host.astype(np.float32)
+            if np.issubdtype(host.dtype, np.integer):
+                vol = vol / float(np.iinfo(host.dtype).max)
+            self.assembler.add(vol, buffer_nr)
         if self.on_processed:
             self.on_processed(host, buffer_nr)
 

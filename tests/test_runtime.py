@@ -154,6 +154,19 @@ def test_source_error_propagates():
         eng.run()
 
 
+def test_on_volume_assembly():
+    vols = []
+    eng = make_engine(n_buffers=6, stream_to_host=True,
+                      on_volume=lambda v, i: vols.append((v.copy(), i)))
+    eng.run()
+    # 6 buffers / 2 per volume -> 3 complete volumes
+    assert [i for _, i in vols] == [0, 1, 2]
+    v0 = vols[0][0]
+    assert v0.shape == (2 * ACQ.bscans_per_buffer, ACQ.ascans_per_bscan,
+                        ACQ.output_ascan_length)
+    assert v0.dtype == np.float32 and 0.0 <= v0.min() and v0.max() <= 1.0
+
+
 def test_throughput_meter_window():
     meter = ThroughputMeter(ACQ, window_s=5.0)
     t = 100.0
