@@ -53,12 +53,16 @@ def _run(cfg, n_iters: int = 40) -> float:
     state = pipeline.initial_fpn_state(acq)
 
     # Pre-stage distinct raw buffers in HBM (ring of 4, like the reference's
-    # pinned double buffer feeding the 8-stream pipeline).
-    rng = np.random.default_rng(0)
-    ring = [
-        jax.device_put(rng.integers(0, 4095, size=acq.buffer_shape, dtype=np.uint16))
-        for _ in range(4)
-    ]
+    # pinned double buffer feeding the 8-stream pipeline).  Generated on
+    # device: uploads only PRNG keys, keeping tunnel-transfer exposure near
+    # zero on tunneled backends.
+    @jax.jit
+    def gen(key):
+        return jax.random.randint(key, acq.buffer_shape, 0, 4096,
+                                  dtype=jnp.int32).astype(jnp.uint16)
+
+    ring = [gen(jax.random.PRNGKey(i)) for i in range(4)]
+    jax.block_until_ready(ring)
 
     step = pipeline.make_step(acq, cfg)
 

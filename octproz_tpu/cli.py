@@ -55,6 +55,9 @@ def _add_proc_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--klin-coeffs", type=float, nargs=4, default=None,
                    metavar=("C0", "C1", "C2", "C3"),
                    help="resampling polynomial; default identity (0, N-1, 0, 0)")
+    g.add_argument("--klin-curve-csv", default=None,
+                   help="custom resampling curve CSV (index;value), e.g. from "
+                        "extensions.extract_klin_curve")
     g.add_argument("--no-windowing", action="store_true")
     g.add_argument("--window-type", choices=["hanning", "gauss", "sine",
                                              "lanczos", "rectangular", "flattop"],
@@ -112,6 +115,11 @@ def _build_config(args):
         window_center=args.window_center,
         window_fill_factor=args.window_fill,
     )
+    if getattr(args, "klin_curve_csv", None):
+        from .io.curvefiles import load_curve_csv
+
+        model_kw["custom_resample_curve"] = load_curve_csv(
+            args.klin_curve_csv, expected_size=args.samples)
     return acq, cfg, model_kw
 
 

@@ -88,6 +88,39 @@ def _style_axis(ax, title: str):
     ax.tick_params(colors=_TEXT, labelsize=8)
 
 
+def plot_curves(
+    path: str,
+    curves: Sequence[Tuple[str, np.ndarray]],
+    reference: Optional[np.ndarray] = None,
+    title: str = "curves",
+) -> str:
+    """Small multi-curve plot with an optional dashed reference curve --
+    the sidebar MiniCurvePlot analog (src/minicurveplot.{h,cpp}; the sidebar
+    shows resampling/dispersion/window curves against references,
+    docs/docs/functionality.md:55-63)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(5, 3), constrained_layout=True)
+    if reference is not None:
+        ref = np.asarray(reference, np.float64)
+        ax.plot(np.arange(ref.size), ref, color=_GRID, linewidth=1.2,
+                linestyle="--", label="reference")
+    for i, (name, data) in enumerate(curves):
+        data = np.asarray(data, np.float64)
+        ax.plot(np.arange(data.size), data,
+                color=SERIES_COLORS[i % len(SERIES_COLORS)], linewidth=1.4,
+                label=name)
+    _style_axis(ax, title)
+    if len(curves) + (reference is not None) > 1:
+        ax.legend(loc="best", fontsize=8, frameon=False, labelcolor=_TEXT)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
 def plot_lines(
     path: str,
     raw_line: Optional[np.ndarray] = None,
