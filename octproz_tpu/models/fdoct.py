@@ -36,6 +36,7 @@ class FdOctModel:
         window_center: float = 0.5,
         window_fill_factor: float = 1.0,
         custom_resample_curve: Optional[np.ndarray] = None,
+        mesh=None,
     ):
         self.acq = acq
         self.cfg = cfg
@@ -49,7 +50,15 @@ class FdOctModel:
         )
         self.curves: Curves = curves_mod.make_curves(acq, cfg, **self._curve_kwargs)
         self.fpn_state: FpnState = pipeline.initial_fpn_state(acq)
-        self._step = pipeline.make_step(acq, cfg)
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip: shard the per-buffer step over the device mesh
+            # (B-scan blocks across devices; see parallel/sharding.py)
+            from ..parallel import make_sharded_step
+
+            self._step = make_sharded_step(acq, cfg, mesh)
+        else:
+            self._step = pipeline.make_step(acq, cfg)
 
     # -- live re-tuning (reference: sidebar edits -> updateResampleCurve etc.,
     #    octalgorithmparameters.cpp:141-249) ---------------------------------

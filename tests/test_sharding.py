@@ -116,3 +116,48 @@ def test_uneven_noise_bscans_span_shards(rng):
     cfg = ProcConfig(resampling=True, fpn_mode=FpnMode.ONCE, bscans_for_noise=1)
     ref, got, _, _ = _run_both(rng, cfg, (8, 1))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fdoct_model_with_mesh_matches_single_device():
+    import jax
+
+    from octproz_tpu.models.fdoct import FdOctModel
+    from octproz_tpu.parallel import make_mesh
+
+    acq = AcqParams(samples_per_line=64, ascans_per_bscan=8,
+                    bscans_per_buffer=8, buffers_per_volume=1, bit_depth=12)
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.CUBIC,
+                     windowing=True, dispersion=True, fpn_mode=FpnMode.ONCE,
+                     bscans_for_noise=4, log_scaling=True)
+    kw = dict(resample_coeffs=(0.0, 63.0, 4.0, 0.0),
+              dispersion_coeffs=(0.0, 0.0, 4.0, 0.0))
+    raw = np.random.default_rng(5).integers(
+        0, 4095, size=acq.buffer_shape).astype(np.uint16)
+
+    single = FdOctModel(acq, cfg, **kw)
+    sharded = FdOctModel(acq, cfg, mesh=make_mesh(4, 2, devices=jax.devices()), **kw)
+    a = np.asarray(single.process_buffer(raw))
+    b = np.asarray(sharded.process_buffer(raw))
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_streaming_engine_with_sharded_model():
+    import jax
+
+    from octproz_tpu.io.source import SyntheticSource
+    from octproz_tpu.models.fdoct import FdOctModel
+    from octproz_tpu.parallel import make_mesh
+    from octproz_tpu.runtime import StreamingEngine
+
+    acq = AcqParams(samples_per_line=64, ascans_per_bscan=8,
+                    bscans_per_buffer=8, buffers_per_volume=1, bit_depth=12)
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.LINEAR,
+                     windowing=True, fpn_mode=FpnMode.OFF, log_scaling=True)
+    model = FdOctModel(acq, cfg, mesh=make_mesh(8, 1, devices=jax.devices()),
+                       resample_coeffs=(0.0, 63.0, 0.0, 0.0))
+    got = []
+    eng = StreamingEngine(model, SyntheticSource(acq, n_buffers=4),
+                          stream_to_host=True,
+                          on_processed=lambda b, nr: got.append(b.shape))
+    assert eng.run() == 4
+    assert got and got[0] == acq.processed_buffer_shape
