@@ -122,6 +122,26 @@ def test_depth_operator_xla_backend_matches_pallas(rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_depth_operator_bfloat16_psnr(rng):
+    """compute_dtype=bfloat16 trades precision for MXU speed; characterize:
+    the B-scan PSNR vs float32 must stay above 30 dB on the display range."""
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.CUBIC,
+                     windowing=True, dispersion=True, fpn_mode=FpnMode.OFF,
+                     log_scaling=True, fft_via_matmul=True)
+    bf16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    kw = dict(resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 10.0, -4.0),
+              dispersion_coeffs=(0.0, 0.0, 8.0, 0.0))
+    curves = curves_mod.make_curves(ACQ, cfg, **kw)
+    raw = jnp.asarray(_raw(rng))
+    state = pipeline.initial_fpn_state(ACQ)
+    a, _ = pipeline.process_buffer(raw, curves, state, ACQ, cfg)
+    b, _ = pipeline.process_buffer(raw, curves, state, ACQ, bf16)
+    a = np.clip(np.asarray(a), 0, 1)
+    b = np.clip(np.asarray(b), 0, 1)
+    psnr = 10 * np.log10(1.0 / max(float(np.mean((a - b) ** 2)), 1e-30))
+    assert psnr > 30.0, f"bf16 PSNR {psnr:.1f} dB"
+
+
 def test_depth_operator_fpn_once(rng):
     """Full fold composes with FPN carried state."""
     # bscans_for_noise=2 -> 32 noise lines / 9 segments, width 3: avoids the
