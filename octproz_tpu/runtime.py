@@ -144,17 +144,28 @@ class _Prefetcher:
                 except queue.Full:
                     continue
 
-    def get(self, timeout: float = 10.0) -> Optional[np.ndarray]:
-        """Next raw buffer, or None when the source is exhausted/stopped."""
-        try:
-            item = self._queue.get(timeout=timeout)
-        except queue.Empty:
-            return None
-        if item is self._SENTINEL:
-            if self.error is not None:
-                raise self.error
-            return None
-        return item
+    def get(self, poll: float = 0.5) -> Optional[np.ndarray]:
+        """Next raw buffer, or None when the source is exhausted/stopped.
+
+        End-of-stream is signalled ONLY by the sentinel (or the acquisition
+        thread dying); a transiently empty queue -- e.g. the first device
+        compile stalling the host for tens of seconds -- must never be
+        mistaken for it, or the stream is silently truncated.  Source-side
+        staleness is the source's job (HardwareRingSource.timeout_s)."""
+        while True:
+            try:
+                item = self._queue.get(timeout=poll)
+            except queue.Empty:
+                if not self._thread.is_alive() and self._queue.empty():
+                    if self.error is not None:
+                        raise self.error
+                    return None
+                continue
+            if item is self._SENTINEL:
+                if self.error is not None:
+                    raise self.error
+                return None
+            return item
 
     def stop(self) -> None:
         self._stop.set()
