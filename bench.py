@@ -90,7 +90,8 @@ def _run(cfg, n_iters: int = 40) -> float:
     return done * acq.ascans_per_buffer / elapsed / 1e6
 
 
-def main() -> None:
+def _attempt(backend: str) -> None:
+    """One measurement attempt in THIS process; prints the JSON line."""
     import os
 
     if os.environ.get("OCTPROZ_BENCH_FORCE_CPU"):
@@ -111,49 +112,69 @@ def main() -> None:
         log_scaling=True,
         fft_via_matmul=True,
     )
-    rate_mhz = None
-    backend_used = None
-    # the axon tunnel throws spurious UNIMPLEMENTED errors under load --
-    # retry each backend before falling back
-    attempts = (("xla",) if os.environ.get("OCTPROZ_BENCH_FORCE_CPU")
-                else ("pallas", "pallas", "xla", "xla", "xla"))
-    for backend in attempts:
-        try:
-            rate_mhz = _run(dataclasses.replace(base, fold_backend=backend))
-            backend_used = backend
-            break
-        except Exception as e:
-            print(f"bench: fold_backend={backend} failed: "
-                  f"{type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
-            time.sleep(5)
-    if rate_mhz is None:
-        # last resort: an honest CPU measurement (clearly labeled) beats no
-        # record when the accelerator backend is down.  Fresh process: the
-        # platform cannot be switched after backend initialization.
-        import os
-        import subprocess
-
-        print("bench: accelerator unavailable; measuring on CPU", file=sys.stderr)
-        env = dict(os.environ, OCTPROZ_BENCH_FORCE_CPU="1")
-        result = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                env=env, capture_output=True, text=True,
-                                timeout=3600)
-        sys.stderr.write(result.stderr)
-        sys.stdout.write(result.stdout)
-        raise SystemExit(result.returncode)
+    rate_mhz = _run(dataclasses.replace(base, fold_backend=backend))
 
     import jax
-
-    platform = jax.devices()[0].platform
 
     print(json.dumps({
         "metric": "equivalent_ascan_rate",
         "value": round(rate_mhz, 3),
         "unit": "MHz",
         "vs_baseline": round(rate_mhz / BASELINE_MHZ, 3),
-        "fold_backend": backend_used,
-        "platform": platform,
+        "fold_backend": backend,
+        "platform": jax.devices()[0].platform,
     }))
+
+
+def main() -> None:
+    """Run attempts in ISOLATED subprocesses.
+
+    The tunneled accelerator backend can wedge a whole process (transfers
+    hang or throw spurious UNIMPLEMENTED under load, and the client never
+    recovers) -- an in-process retry after such a failure is guaranteed to
+    fail too.  A fresh process per attempt gives each try a clean client,
+    and a hung attempt is bounded by a hard timeout instead of stalling the
+    driver.
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("OCTPROZ_BENCH_ATTEMPT"):
+        _attempt(os.environ["OCTPROZ_BENCH_ATTEMPT"])
+        return
+
+    force_cpu = bool(os.environ.get("OCTPROZ_BENCH_FORCE_CPU"))
+    attempts = ["pallas", "xla", "pallas", "xla"] if not force_cpu else ["xla"]
+    # Final honest fallback: a clearly-labeled CPU measurement beats no
+    # record when the accelerator is down.
+    plans = [(b, dict(os.environ, OCTPROZ_BENCH_ATTEMPT=b)) for b in attempts]
+    if not force_cpu:
+        plans.append(("xla", dict(os.environ, OCTPROZ_BENCH_ATTEMPT="xla",
+                                  OCTPROZ_BENCH_FORCE_CPU="1")))
+
+    for i, (backend, env) in enumerate(plans):
+        if env.get("OCTPROZ_BENCH_FORCE_CPU"):
+            print("bench: accelerator unavailable; measuring on CPU",
+                  file=sys.stderr)
+        try:
+            result = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True,
+                timeout=float(os.environ.get("OCTPROZ_BENCH_ATTEMPT_TIMEOUT",
+                                             "1200")))
+        except subprocess.TimeoutExpired:
+            print(f"bench: fold_backend={backend} attempt timed out",
+                  file=sys.stderr)
+            continue
+        if result.returncode == 0 and result.stdout.strip():
+            sys.stderr.write(result.stderr)
+            sys.stdout.write(result.stdout)
+            return
+        tail = (result.stderr or "").strip().splitlines()[-1:]
+        print(f"bench: fold_backend={backend} failed: "
+              f"{' '.join(tail)[:160]}", file=sys.stderr)
+        time.sleep(5)
+    raise SystemExit("bench: all attempts failed")
 
 
 if __name__ == "__main__":

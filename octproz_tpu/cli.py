@@ -217,10 +217,19 @@ def cmd_replay(args) -> int:
                            packed_12bit=args.packed_12bit,
                            copy_to_ram=not args.stream_from_disk)
     console = MessageConsole(echo=True)
-    stream = args.stream or (args.record and args.record_processed)
+    stream = (args.stream or (args.record and args.record_processed)
+              or args.live)
     eng = StreamingEngine(model, src, stream_to_host=stream,
                           streaming_skip=args.skip, on_info=console.info,
                           metrics_window_s=args.metrics_window)
+    live = None
+    if args.live:
+        from .viz.live import LiveView
+
+        live = LiveView(port=args.live_port, host=args.live_host,
+                        lut=args.live_lut)
+        live.attach(eng)
+        print(f"live view: {live.url}", flush=True)
     if args.record:
         from .io.recorder import RecordingParams
 
@@ -239,6 +248,8 @@ def cmd_replay(args) -> int:
     t0 = time.perf_counter()
     n = eng.run(max_buffers=args.max_buffers)
     dt = time.perf_counter() - t0
+    if live is not None:
+        live.close()
     print(json.dumps({
         "buffers_processed": n,
         "ascans_per_s": round(n * acq.ascans_per_buffer / dt, 1),
@@ -284,6 +295,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="octproz_tpu",
         description="TPU-native FD-OCT processing framework")
+    p.add_argument("--platform", default=None, metavar="NAME",
+                   help="force a jax backend (e.g. 'cpu'); needed because "
+                        "some environments preset JAX_PLATFORMS at the "
+                        "interpreter level where the env var has no effect")
     sub = p.add_subparsers(dest="command", required=True)
 
     pp = sub.add_parser("process", help="process a raw volume file")
@@ -329,6 +344,12 @@ def build_parser() -> argparse.ArgumentParser:
     rec.add_argument("--schedule-interval", type=float, default=None,
                      help="record a time series every N seconds")
     rec.add_argument("--schedule-total", type=int, default=1)
+    live = pr.add_argument_group("live view (GLWindow2D/info-box analog)")
+    live.add_argument("--live", action="store_true",
+                      help="serve a browser live view while streaming")
+    live.add_argument("--live-port", type=int, default=8765)
+    live.add_argument("--live-host", default="127.0.0.1")
+    live.add_argument("--live-lut", default="gray")
     pr.set_defaults(fn=cmd_replay)
 
     pv = sub.add_parser("render", help="render a processed float32 volume")
@@ -379,6 +400,10 @@ def enable_compilation_cache() -> None:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     enable_compilation_cache()
     try:
         return args.fn(args)

@@ -14,7 +14,7 @@ which re-uses the compiled executable.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -247,6 +247,37 @@ def sinusoidal_scan_curve(ascans_per_bscan: int) -> np.ndarray:
 # Convenience: build the full Curves pytree
 # ---------------------------------------------------------------------------
 
+def consumed_fields(cfg: "ProcConfig") -> Tuple[str, ...]:
+    """Names of the Curves fields the jitted step for ``cfg`` actually reads.
+
+    Mirrors the branch structure of pipeline.process_buffer.  Used to keep
+    everything else OFF the device: each host->device upload is latency and,
+    on tunneled backends, a failure opportunity, so only the operators this
+    configuration consumes are shipped (the reference analogously uploads
+    only the LUTs the active kernel dispatch needs, cuda_code.cu:1432-1445).
+    """
+    used = []
+    if cfg.fft_via_matmul:
+        used += ["depth_op_re", "depth_op_im"]
+    elif cfg.use_pallas_prep:
+        used.append("prep_operator")
+        if cfg.dispersion:
+            used.append("phase")
+    else:
+        if cfg.resampling:
+            used.append("resample_matrix" if cfg.resample_via_matmul
+                        else "resample_curve")
+        if cfg.windowing:
+            used.append("window")
+        if cfg.dispersion:
+            used.append("phase")
+    if cfg.sinusoidal_correction:
+        used.append("sinusoidal_curve")
+    if cfg.post_background_removal:
+        used.append("post_background")
+    return tuple(used)
+
+
 def make_curves(
     acq: AcqParams,
     cfg: ProcConfig,
@@ -258,7 +289,12 @@ def make_curves(
     custom_resample_curve: Optional[np.ndarray] = None,
     post_background: Optional[np.ndarray] = None,
 ) -> Curves:
-    """Build all LUTs a given configuration needs (device arrays).
+    """Build all LUTs a given configuration needs.
+
+    Fields named by :func:`consumed_fields` (what the jitted step for this
+    ``cfg`` reads) are uploaded as device arrays; everything else stays a
+    host numpy array — inspectable (mini curve plots, CSV export) but never
+    shipped over the host->device link.
 
     ``resample_coeffs``/``dispersion_coeffs`` are the GUI-style (c0..c3) /
     (d0..d3) coefficients.  Note: like the reference GUI, a pure identity
@@ -266,36 +302,45 @@ def make_curves(
     """
     import jax.numpy as jnp
 
+    used = consumed_fields(cfg)
+
+    def place(name, np_arr):
+        return jnp.asarray(np_arr) if name in used else np_arr
+
     n = acq.samples_per_line
     rc = rm = win = phase = sin_curve = post_bg = prep_op = None
     rm_np = win_np = None
     if cfg.resampling:
         rc_np = resample_curve(acq, *resample_coeffs, custom=custom_resample_curve)
-        rc = jnp.asarray(rc_np)
+        rc = place("resample_curve", rc_np)
         rm_np = build_resample_matrix(rc_np, cfg.interpolation)
-        rm = jnp.asarray(rm_np)
+        rm = place("resample_matrix", rm_np)
     if cfg.windowing:
         win_np = window_curve(window_type, n, window_center, window_fill_factor)
-        win = jnp.asarray(win_np)
+        win = place("window", win_np)
     if cfg.use_pallas_prep:
         from .pallas.fused_prep import build_prep_operator
-        prep_op = jnp.asarray(build_prep_operator(acq, cfg, rm_np, win_np))
+        prep_op = place("prep_operator",
+                        build_prep_operator(acq, cfg, rm_np, win_np))
     dop_re = dop_im = None
     if cfg.fft_via_matmul:
         from .pallas.fused_prep import build_depth_operator
         phase_np = np.asarray(dispersion_phase(acq, *dispersion_coeffs)) \
             if cfg.dispersion else None
         re_np, im_np = build_depth_operator(acq, cfg, rm_np, win_np, phase_np)
-        dop_re, dop_im = jnp.asarray(re_np), jnp.asarray(im_np)
+        dop_re, dop_im = place("depth_op_re", re_np), place("depth_op_im", im_np)
     if cfg.dispersion:
-        phase = jnp.asarray(dispersion_phase(acq, *dispersion_coeffs))
+        phase = place("phase", dispersion_phase(acq, *dispersion_coeffs))
     if cfg.sinusoidal_correction:
-        sin_curve = jnp.asarray(sinusoidal_scan_curve(acq.ascans_per_bscan))
+        sin_curve = place("sinusoidal_curve",
+                          sinusoidal_scan_curve(acq.ascans_per_bscan))
     if cfg.post_background_removal:
         if post_background is None:
-            post_bg = jnp.zeros((acq.output_ascan_length,), jnp.float32)
+            post_bg = place("post_background",
+                            np.zeros((acq.output_ascan_length,), np.float32))
         else:
-            post_bg = jnp.asarray(post_background, dtype=jnp.float32)
+            post_bg = place("post_background",
+                            np.asarray(post_background, dtype=np.float32))
     return Curves(
         resample_curve=rc,
         resample_matrix=rm,

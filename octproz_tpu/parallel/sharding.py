@@ -211,10 +211,22 @@ def make_sharded_step(acq: AcqParams, cfg: ProcConfig, mesh: Mesh,
     sharded = NamedSharding(mesh, P(AXIS_BSCAN, AXIS_ASCAN, None))
     replicated = NamedSharding(mesh, P())
 
-    fn = functools.partial(sharded_process_buffer, acq=acq, cfg=cfg, mesh=mesh)
-    return jax.jit(
-        fn,
+    from ..curves import consumed_fields
+
+    used = consumed_fields(cfg)
+
+    @functools.partial(
+        jax.jit,
         in_shardings=(sharded, replicated, replicated),
         out_shardings=(sharded, replicated),
         donate_argnums=(0,) if donate_raw else (),
     )
+    def inner(raw, used_vals, fpn_state):
+        cv = Curves(**dict(zip(used, used_vals)))
+        return sharded_process_buffer(raw, cv, fpn_state, acq=acq, cfg=cfg,
+                                      mesh=mesh)
+
+    def step(raw, curves: Curves, fpn_state):
+        return inner(raw, tuple(getattr(curves, f) for f in used), fpn_state)
+
+    return step

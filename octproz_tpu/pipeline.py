@@ -179,10 +179,25 @@ def make_step(acq: AcqParams, cfg: ProcConfig, donate_raw: bool = False):
     Returns ``step(raw, curves, fpn_state) -> (processed, fpn_state)``.
     One executable per configuration -- the compile-cache analog of the
     reference's kernel dispatch table.
+
+    Only the Curves fields this configuration consumes enter the jit
+    (curves.consumed_fields); unused LUTs -- which make_curves keeps as host
+    numpy arrays -- are never transferred to the device.
     """
-    fn = functools.partial(process_buffer, acq=acq, cfg=cfg)
+    from .curves import consumed_fields
+
+    used = consumed_fields(cfg)
     donate = (0,) if donate_raw else ()
-    return jax.jit(fn, donate_argnums=donate)
+
+    @functools.partial(jax.jit, donate_argnums=donate)
+    def inner(raw, used_vals, fpn_state):
+        cv = Curves(**dict(zip(used, used_vals)))
+        return process_buffer(raw, cv, fpn_state, acq=acq, cfg=cfg)
+
+    def step(raw, curves: Curves, fpn_state):
+        return inner(raw, tuple(getattr(curves, f) for f in used), fpn_state)
+
+    return step
 
 
 def initial_fpn_state(acq: AcqParams) -> FpnState:

@@ -130,3 +130,29 @@ class TestMakeCurves:
         assert cv.resample_matrix is None
         assert cv.window is None
         assert cv.phase is None
+
+    def test_only_consumed_fields_are_device_arrays(self):
+        """The fold configuration consumes only the depth operators; every
+        other LUT must stay host-side (numpy) so it is never uploaded."""
+        import jax
+        import numpy as np
+        from octproz_tpu import ProcConfig, FpnMode
+        cfg = ProcConfig(resampling=True, windowing=True, dispersion=True,
+                         fpn_mode=FpnMode.ONCE, log_scaling=True,
+                         fft_via_matmul=True)
+        assert C.consumed_fields(cfg) == ("depth_op_re", "depth_op_im")
+        cv = C.make_curves(ACQ, cfg, resample_coeffs=(0, 1023, 0, 0))
+        assert isinstance(cv.depth_op_re, jax.Array)
+        assert isinstance(cv.depth_op_im, jax.Array)
+        for host_field in ("resample_curve", "resample_matrix", "window",
+                           "phase"):
+            assert isinstance(getattr(cv, host_field), np.ndarray), host_field
+
+    def test_consumed_fields_unfused_chain(self):
+        from octproz_tpu import ProcConfig, FpnMode
+        cfg = ProcConfig(resampling=True, windowing=True, dispersion=True,
+                         sinusoidal_correction=True,
+                         post_background_removal=True, fpn_mode=FpnMode.ONCE)
+        assert C.consumed_fields(cfg) == (
+            "resample_matrix", "window", "phase", "sinusoidal_curve",
+            "post_background")

@@ -1,0 +1,91 @@
+"""Tests: HTTP live viewer (GLWindow2D / info-box analog)."""
+
+import json
+import urllib.request
+
+import numpy as np
+
+from octproz_tpu.runtime import ThroughputStats
+from octproz_tpu.viz.live import LiveView
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=5) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def test_serves_page_and_frames():
+    live = LiveView(port=0, throttle_s=0.0)
+    try:
+        vol = np.zeros((4, 8, 16), np.float32)
+        vol[:, :, 5] = 1.0  # bright layer at depth 5
+        live.update(vol, 0)
+        live.update_stats(ThroughputStats(ascans_per_s=1e6, buffers_per_s=10,
+                                          bscans_per_s=100, volumes_per_s=1,
+                                          mb_per_s=50, buffer_mb=5,
+                                          buffers_processed=7))
+
+        status, ctype, body = _get(live.url)
+        assert status == 200 and "text/html" in ctype
+        assert b"octproz_tpu live" in body
+
+        status, ctype, body = _get(live.url + "bscan.png")
+        assert status == 200 and ctype == "image/png"
+        assert body[:4] == b"\x89PNG"
+
+        status, ctype, body = _get(live.url + "enface.png")
+        assert status == 200 and body[:4] == b"\x89PNG"
+
+        status, _, body = _get(live.url + "ascan.json")
+        vals = json.loads(body)["values"]
+        assert len(vals) == 16 and vals[5] == 1.0
+
+        status, _, body = _get(live.url + "stats.json")
+        stats = json.loads(body)
+        assert stats["ascans_per_s"] == 1e6
+        assert "volumes/s" in stats["info"]
+    finally:
+        live.close()
+
+
+def test_throttle_drops_intermediate_frames():
+    live = LiveView(port=0, throttle_s=10.0)
+    try:
+        vol = np.zeros((2, 4, 8), np.float32)
+        for _ in range(5):
+            live.update(vol, 0)
+        assert live.frames_rendered == 1  # 80 ms-style redraw throttle
+    finally:
+        live.close()
+
+
+def test_quantized_input_and_lut():
+    live = LiveView(port=0, lut="fire", throttle_s=0.0)
+    try:
+        vol = np.full((2, 4, 8), 200, np.uint8)
+        live.update(vol, 0)
+        status, _, body = _get(live.url + "bscan.png")
+        assert status == 200 and body[:4] == b"\x89PNG"
+    finally:
+        live.close()
+
+
+def test_attach_chains_engine_callbacks():
+    class FakeEngine:
+        on_processed = None
+        on_metrics = None
+
+    calls = []
+    eng = FakeEngine()
+    eng.on_processed = lambda v, n: calls.append(("prev", n))
+    live = LiveView(port=0, throttle_s=0.0)
+    try:
+        live.attach(eng)
+        eng.on_processed(np.zeros((1, 2, 4), np.float32), 3)
+        assert calls == [("prev", 3)]
+        assert live.frames_rendered == 1
+        eng.on_metrics(ThroughputStats(buffers_processed=1))
+        status, _, body = _get(live.url + "stats.json")
+        assert json.loads(body)["buffers_processed"] == 1
+    finally:
+        live.close()
