@@ -39,6 +39,8 @@ def _add_acq_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--bit-depth", type=int, default=12)
     g.add_argument("--packed-12bit", action="store_true",
                    help="input file holds 12-bit packed samples (2 per 3 bytes)")
+    g.add_argument("--big-endian", action="store_true",
+                   help="input samples are big-endian (byte-swapped on load)")
     g.add_argument("--stream-from-disk", action="store_true",
                    help="do not preload the file into RAM (huge files)")
 
@@ -155,6 +157,7 @@ def cmd_process(args) -> int:
     src = VirtualOctSource(args.input, acq,
                            total_buffers_to_acquire=args.max_buffers,
                            packed_12bit=args.packed_12bit,
+                           big_endian=args.big_endian,
                            copy_to_ram=not args.stream_from_disk)
     n_buffers = min(src.buffers_in_file, args.max_buffers or src.buffers_in_file)
 
@@ -215,6 +218,7 @@ def cmd_replay(args) -> int:
     src = VirtualOctSource(args.input, acq, wait_time_us=args.wait_us,
                            total_buffers_to_acquire=args.max_buffers,
                            packed_12bit=args.packed_12bit,
+                           big_endian=args.big_endian,
                            copy_to_ram=not args.stream_from_disk)
     console = MessageConsole(echo=True)
     stream = (args.stream or (args.record and args.record_processed)

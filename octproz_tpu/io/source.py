@@ -71,6 +71,7 @@ class VirtualOctSource:
         copy_to_ram: bool = True,
         total_buffers_to_acquire: Optional[int] = None,
         packed_12bit: bool = False,
+        big_endian: bool = False,
     ):
         self.path = path
         self.acq = acq
@@ -79,6 +80,12 @@ class VirtualOctSource:
         self.copy_to_ram = copy_to_ram
         self.total = total_buffers_to_acquire
         self.packed_12bit = packed_12bit
+        # byte-order swap for big-endian recordings (the reference ships
+        # endian-swap device helpers, cuda_code.cu:150-163; here the swap is
+        # host-side, before upload)
+        self.big_endian = big_endian
+        if big_endian and packed_12bit:
+            raise ValueError("big_endian does not apply to 12-bit packed input")
         self._dtype = np.uint16 if packed_12bit else _np_dtype(acq.bit_depth)
         if packed_12bit:
             if acq.samples_per_buffer % 2:
@@ -118,6 +125,8 @@ class VirtualOctSource:
             return native.unpack_uint12(
                 raw, self.acq.samples_per_buffer).reshape(self.acq.buffer_shape)
         out = raw.view(self._dtype).reshape(self.acq.buffer_shape)
+        if self.big_endian and self.acq.bit_depth > 8:
+            return out.byteswap()  # always a fresh array
         # streaming mode reuses the scratch buffer; hand out a copy so the
         # next read cannot overwrite data still in flight downstream
         return out.copy() if raw is getattr(self, "_scratch", None) else out

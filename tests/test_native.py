@@ -147,3 +147,31 @@ def test_virtual_source_streaming_no_overwrite(tmp_path):
     first_value = int(b0.reshape(-1)[0])
     src.read_buffer(1)  # would overwrite b0 if it were a scratch view
     assert int(b0.reshape(-1)[0]) == first_value
+
+
+def test_virtual_source_big_endian(tmp_path):
+    """Big-endian recordings are byte-swapped on load (endian-swap helper
+    capability, cuda_code.cu:150-163)."""
+    import numpy as np
+    from octproz_tpu import AcqParams
+    from octproz_tpu.io.source import VirtualOctSource
+
+    acq = AcqParams(samples_per_line=16, ascans_per_bscan=4,
+                    bscans_per_buffer=2, buffers_per_volume=1, bit_depth=12)
+    want = np.random.default_rng(0).integers(
+        0, 4095, acq.buffer_shape).astype(np.uint16)
+    p = tmp_path / "be.raw"
+    want.byteswap().tofile(p)  # write as big-endian
+
+    got = next(VirtualOctSource(str(p), acq, big_endian=True,
+                                total_buffers_to_acquire=1).buffers())
+    np.testing.assert_array_equal(got, want)
+
+    # streaming (pread) mode swaps too
+    got = next(VirtualOctSource(str(p), acq, big_endian=True, copy_to_ram=False,
+                                total_buffers_to_acquire=1).buffers())
+    np.testing.assert_array_equal(got, want)
+
+    import pytest
+    with pytest.raises(ValueError, match="big_endian"):
+        VirtualOctSource(str(p), acq, big_endian=True, packed_12bit=True)
