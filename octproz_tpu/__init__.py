@@ -18,6 +18,6 @@ from .params import (  # noqa: F401
     default_full_config,
 )
 from . import curves, ops, pipeline  # noqa: F401
-from .pipeline import initial_fpn_state, make_step, process_buffer  # noqa: F401
+from .pipeline import initial_fpn_state, make_scan_step, make_step, process_buffer  # noqa: F401
 
 __version__ = "0.1.0"

@@ -197,3 +197,40 @@ class TestModel:
         model.set_klin_coeffs(0.0, 127.0, 10.0, 0.0)
         out3 = np.asarray(model.process_buffer(raw))
         assert not np.allclose(out2, out3)
+
+
+class TestScanStep:
+    def test_matches_sequential_steps(self, rng):
+        """make_scan_step over a stacked batch == repeated make_step calls,
+        including the carried FPN state (determine-once across buffers)."""
+        import jax.numpy as jnp
+        from octproz_tpu.pipeline import make_scan_step
+
+        cfg = ProcConfig(bitshift=True, resampling=True,
+                         interpolation=Interpolation.CUBIC, windowing=True,
+                         dispersion=True, fpn_mode=FpnMode.ONCE,
+                         bscans_for_noise=2, log_scaling=True,
+                         fft_via_matmul=True)
+        cv = curves.make_curves(
+            ACQ, cfg, resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 5.0, 0.0),
+            dispersion_coeffs=(0.0, 0.0, 6.0, 0.0),
+            window_type=WindowType.HANNING)
+        raws = np.stack([make_raw(rng, ACQ) for _ in range(3)])
+
+        step = make_step(ACQ, cfg)
+        state = initial_fpn_state(ACQ)
+        seq = []
+        for i in range(3):
+            out, state = step(jnp.asarray(raws[i]), cv, state)
+            seq.append(np.asarray(out))
+
+        scan_step = make_scan_step(ACQ, cfg)
+        outs, scan_state = scan_step(jnp.asarray(raws), cv, initial_fpn_state(ACQ))
+        outs = np.asarray(outs)
+
+        assert outs.shape == (3,) + seq[0].shape
+        for i in range(3):
+            np.testing.assert_allclose(outs[i], seq[i], atol=2e-5)
+        np.testing.assert_allclose(np.asarray(scan_state.mean_line),
+                                   np.asarray(state.mean_line), atol=1e-6)
+        assert bool(scan_state.determined)
