@@ -162,6 +162,34 @@ def _kernel_depth(raw_ref, wre_ref, wim_ref, re_ref, im_ref,
     im_ref[:] = jnp.dot(x, wim_ref[:], preferred_element_type=jnp.float32)
 
 
+def _kernel_depth_scale(raw_ref, wre_ref, wim_ref, mean_ref, out_ref,
+                        *, bit_depth: int, bitshift: bool, compute_dtype,
+                        log_scaling: bool, half: int, gmin: float,
+                        gmax: float, addend: float, coeff: float):
+    """Decode + full-fold depth operator + FPN mean-line subtraction +
+    dynamic-range scaling, all in one VMEM pass.
+
+    The planar (re, im) depth profiles never reach HBM: the epilogue
+    (meanALineSubtraction + postProcessTruncateLog/Lin numerics,
+    cuda_code.cu:567-584,699-741) runs on the GEMM tile while it is still in
+    VMEM and only the final magnitude image is written -- per buffer that
+    removes a write+read of both full planar volumes."""
+    x = _decode_block(raw_ref[:], bit_depth, bitshift).astype(compute_dtype)
+    re = jnp.dot(x, wre_ref[:], preferred_element_type=jnp.float32)
+    im = jnp.dot(x, wim_ref[:], preferred_element_type=jnp.float32)
+    re = re - mean_ref[0:1, :]
+    im = im - mean_ref[1:2, :]
+    p = re * re + im * im
+    if log_scaling:
+        v = 10.0 * jnp.log10(p / jnp.float32(half))
+    else:
+        v = jnp.sqrt(p) / jnp.float32(half)
+    # identical expression to ops.postprocess.scale_{log,lin}_planar
+    out_ref[:] = jnp.float32(coeff) * (
+        (v - jnp.float32(gmin)) / jnp.float32(gmax - gmin)
+        + jnp.float32(addend))
+
+
 def _pick_tile(n_lines: int) -> int:
     for tile in (256, 128, 64, 32, 16, 8):
         if n_lines % tile == 0:
@@ -256,6 +284,81 @@ def _fused_depth_impl(raw2d, w_re, w_im, *, bit_depth: int, bitshift: bool,
         interpret=interpret,
     )(raw2d, w_re, w_im)
     return re, im
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "bit_depth", "bitshift", "compute_dtype", "log_scaling", "gmin", "gmax",
+    "addend", "coeff", "interpret"))
+def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
+                            bitshift: bool, compute_dtype: str,
+                            log_scaling: bool, gmin: float, gmax: float,
+                            addend: float, coeff: float, interpret: bool):
+    n_lines, n_in = raw2d.shape
+    half = w_re.shape[1]
+    tile = _pick_tile(n_lines)
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    if compute_dtype == "bfloat16":
+        w_re, w_im = w_re.astype(jnp.bfloat16), w_im.astype(jnp.bfloat16)
+    grid = (n_lines // tile,)
+    line_spec = pl.BlockSpec((tile, n_in), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    op_spec = pl.BlockSpec((n_in, half), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    mean_spec = pl.BlockSpec((2, half), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile, half), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _kernel_depth_scale, bit_depth=bit_depth, bitshift=bitshift,
+        compute_dtype=cdt, log_scaling=log_scaling, half=half, gmin=gmin,
+        gmax=gmax, addend=addend, coeff=coeff)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[line_spec, op_spec, op_spec, mean_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n_lines, half), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_lines * n_in * half,
+            bytes_accessed=raw2d.size * raw2d.dtype.itemsize
+            + 2 * w_re.size * w_re.dtype.itemsize + n_lines * half * 4,
+            transcendentals=n_lines * half if log_scaling else 0,
+        ),
+        interpret=interpret,
+    )(raw2d, w_re, w_im, mean2)
+
+
+def fused_depth_scale(
+    raw: jnp.ndarray,
+    depth_op_re: jnp.ndarray,
+    depth_op_im: jnp.ndarray,
+    mean2: jnp.ndarray,
+    acq: AcqParams,
+    cfg: ProcConfig,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Raw uint lines -> scaled magnitude image in ONE Pallas pass:
+    stages 1-4 + IFFT + truncation + FPN mean subtraction + log/lin dynamic
+    range.  ``mean2`` is float32 (2, half): rows are the (re, im) FPN mean
+    line (pass zeros when FPN is off).  This is the steady-state hot kernel:
+    only raw integers are read from HBM and only the final magnitude is
+    written back."""
+    if depth_op_re is None or depth_op_im is None:
+        raise ValueError(
+            "cfg.fft_via_matmul is set but curves.depth_op_* is None -- "
+            "build the curves with the same config (make_curves(acq, cfg, ...))")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lead_shape = raw.shape[:-1]
+    raw2d = _predecode(raw.reshape(-1, raw.shape[-1]), acq.bit_depth,
+                       cfg.bitshift)
+    mag = _fused_depth_scale_impl(
+        raw2d, depth_op_re, depth_op_im, mean2,
+        bit_depth=acq.bit_depth, bitshift=cfg.bitshift,
+        compute_dtype=cfg.compute_dtype, log_scaling=cfg.log_scaling,
+        gmin=cfg.grayscale_min, gmax=cfg.grayscale_max, addend=cfg.addend,
+        coeff=cfg.multiplicator, interpret=interpret)
+    return mag.reshape(*lead_shape, mag.shape[-1])
 
 
 def fused_depth_transform(

@@ -206,6 +206,11 @@ class ProcConfig:
     # Execution backend for the folded GEMM: "pallas" (hand-fused kernel) or
     # "xla" (plain jnp matmuls; XLA fuses the decode into the GEMM operand).
     fold_backend: str = "pallas"
+    # Fuse the FPN mean-line subtraction + log/lin dynamic-range scaling into
+    # the folded-GEMM kernel's epilogue (fold_backend="pallas", FPN off/once
+    # only): the planar (re, im) depth volumes then never reach HBM.  The
+    # FPN-determination buffer and other modes use the unfused path.
+    fused_scale: bool = True
 
     def __post_init__(self):
         if self.rolling_average_window < 1:

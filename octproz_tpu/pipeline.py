@@ -144,16 +144,41 @@ def process_buffer(
     if cfg.fft_via_matmul:
         # fully planar path: no complex64 anywhere (runs on TPU backends
         # without complex support)
-        from .pallas.fused_prep import fused_depth_transform
-        z_re, z_im = fused_depth_transform(raw, curves.depth_op_re,
-                                           curves.depth_op_im, acq, cfg)
-        if cfg.fpn_mode != FpnMode.OFF:
-            z_re, z_im, fpn_state = apply_fpn_planar(z_re, z_im, fpn_state,
+        from .pallas.fused_prep import fused_depth_scale, fused_depth_transform
+
+        def unfused(state):
+            z_re, z_im = fused_depth_transform(raw, curves.depth_op_re,
+                                               curves.depth_op_im, acq, cfg)
+            if cfg.fpn_mode != FpnMode.OFF:
+                z_re, z_im, state = apply_fpn_planar(z_re, z_im, state,
                                                      acq, cfg)
-        scale = (postprocess.scale_log_planar if cfg.log_scaling
-                 else postprocess.scale_lin_planar)
-        mag = scale(z_re, z_im, half, cfg.grayscale_min, cfg.grayscale_max,
-                    cfg.addend, cfg.multiplicator)
+            scale = (postprocess.scale_log_planar if cfg.log_scaling
+                     else postprocess.scale_lin_planar)
+            mag = scale(z_re, z_im, half, cfg.grayscale_min,
+                        cfg.grayscale_max, cfg.addend, cfg.multiplicator)
+            return mag, state
+
+        # Steady-state hot path: GEMM + FPN subtraction + dynamic-range
+        # scaling in one VMEM pass -- the planar (re, im) volumes never
+        # reach HBM.  Usable when the FPN mean line is a kernel INPUT:
+        # FPN off (zeros) or FPN ONCE after determination (lax.cond picks
+        # the determination path for the first buffer only).
+        fusable = (cfg.fused_scale and cfg.fold_backend == "pallas"
+                   and cfg.fpn_mode in (FpnMode.OFF, FpnMode.ONCE))
+        if fusable:
+            def fused(state):
+                mag = fused_depth_scale(raw, curves.depth_op_re,
+                                        curves.depth_op_im, state.mean_line,
+                                        acq, cfg)
+                return mag, state
+
+            if cfg.fpn_mode == FpnMode.OFF:
+                mag, fpn_state = fused(fpn_state)
+            else:
+                mag, fpn_state = jax.lax.cond(fpn_state.determined, fused,
+                                              unfused, fpn_state)
+        else:
+            mag, fpn_state = unfused(fpn_state)
         return postprocess_volume(mag, curves, cfg), fpn_state
 
     spectra = prep_spectra(raw, curves, acq, cfg)

@@ -176,3 +176,46 @@ def test_fused_full_pipeline_end_to_end(rng):
     got, _ = pipeline.process_buffer(raw, c_fused, state, ACQ, fused_cfg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-3, rtol=1e-4)
+
+
+def test_fused_scale_epilogue_matches_unfused(rng):
+    """fused_scale=True (GEMM + FPN subtraction + log scale in one kernel)
+    must reproduce the unfused fold exactly, including the lax.cond between
+    the FPN-determination buffer and the steady-state fused kernel."""
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.CUBIC,
+                     windowing=True, dispersion=True, fpn_mode=FpnMode.ONCE,
+                     bscans_for_noise=2, log_scaling=True,
+                     fft_via_matmul=True, fused_scale=True)
+    unfused = dataclasses.replace(cfg, fused_scale=False)
+    kw = dict(resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 10.0, -4.0),
+              dispersion_coeffs=(0.0, 0.0, 8.0, 0.0))
+    curves = curves_mod.make_curves(ACQ, cfg, **kw)
+    sa = pipeline.initial_fpn_state(ACQ)
+    sb = pipeline.initial_fpn_state(ACQ)
+    for _ in range(3):  # buffer 0 determines FPN; buffers 1-2 hit the fused kernel
+        raw = jnp.asarray(_raw(rng))
+        a, sa = pipeline.process_buffer(raw, curves, sa, ACQ, cfg)
+        b, sb = pipeline.process_buffer(raw, curves, sb, ACQ, unfused)
+        fin = np.isfinite(np.asarray(a)) & np.isfinite(np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a)[fin], np.asarray(b)[fin],
+                                   atol=1e-4, rtol=1e-5)
+    assert bool(sa.determined) and bool(sb.determined)
+    np.testing.assert_allclose(np.asarray(sa.mean_line),
+                               np.asarray(sb.mean_line), atol=1e-5)
+
+
+def test_fused_scale_epilogue_fpn_off(rng):
+    """With FPN off the fused epilogue subtracts the zero initial mean line
+    -- identical output to the unfused path, state untouched."""
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.LINEAR,
+                     windowing=True, fpn_mode=FpnMode.OFF, log_scaling=False,
+                     fft_via_matmul=True, fused_scale=True)
+    unfused = dataclasses.replace(cfg, fused_scale=False)
+    curves = curves_mod.make_curves(
+        ACQ, cfg, resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 0.0, 0.0))
+    raw = jnp.asarray(_raw(rng))
+    state = pipeline.initial_fpn_state(ACQ)
+    a, _ = pipeline.process_buffer(raw, curves, state, ACQ, cfg)
+    b, _ = pipeline.process_buffer(raw, curves, state, ACQ, unfused)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                               rtol=1e-5)
