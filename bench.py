@@ -83,25 +83,36 @@ def _run(cfg, n_iters: int = 40, chunk: int = 1) -> float:
         used = consumed_fields(cfg)
         used_vals = tuple(getattr(curves, f) for f in used)
 
+        # lax.scan over a stacked ring: the pipeline body is traced/compiled
+        # ONCE regardless of chunk size (a Python-unrolled loop would compile
+        # `chunk` copies -- costly on the tunneled backend where first compile
+        # is already 80-300 s).
+        raw_stack = jnp.stack(ring[:chunk]) if chunk <= len(ring) else \
+            jnp.stack([ring[i % len(ring)] for i in range(chunk)])
+
         @jax.jit
-        def run_chunk(ring, used_vals, acc, state):
+        def run_chunk(raw_stack, used_vals, acc, state):
             cv = Curves(**dict(zip(used, used_vals)))
-            for i in range(chunk):
-                out, state = pipeline.process_buffer(ring[i % len(ring)], cv,
-                                                     state, acq=acq, cfg=cfg)
+
+            def body(carry, raw):
+                acc, st = carry
+                out, st = pipeline.process_buffer(raw, cv, st, acq=acq,
+                                                  cfg=cfg)
                 # clamp keeps acc finite if any voxel hit log10(0) == -inf;
                 # every element is still consumed (nothing can be DCE'd)
-                acc = acc + jnp.sum(jnp.maximum(out, -1e4))
+                return (acc + jnp.sum(jnp.maximum(out, -1e4)), st), None
+
+            (acc, state), _ = jax.lax.scan(body, (acc, state), raw_stack)
             return acc, state
 
         acc = jnp.zeros((), jnp.float32)
-        acc, state = run_chunk(tuple(ring), used_vals, acc, state)  # warmup
+        acc, state = run_chunk(raw_stack, used_vals, acc, state)  # warmup
         float(np.asarray(acc))  # raises if the backend cannot execute
 
         done = 0
         t0 = time.perf_counter()
         while done < n_iters:
-            acc, state = run_chunk(tuple(ring), used_vals, acc, state)
+            acc, state = run_chunk(raw_stack, used_vals, acc, state)
             done += chunk
             float(np.asarray(acc))  # sync point inside the timed region
             if time.perf_counter() - t0 > 60.0:

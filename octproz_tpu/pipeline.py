@@ -167,8 +167,12 @@ def process_buffer(
                    and cfg.fpn_mode in (FpnMode.OFF, FpnMode.ONCE))
         if fusable:
             def fused(state):
+                # OFF ignores any carried state (e.g. from a prior ONCE run):
+                # subtract zeros so fused and unfused OFF semantics match.
+                mean = (jnp.zeros_like(state.mean_line)
+                        if cfg.fpn_mode == FpnMode.OFF else state.mean_line)
                 mag = fused_depth_scale(raw, curves.depth_op_re,
-                                        curves.depth_op_im, state.mean_line,
+                                        curves.depth_op_im, mean,
                                         acq, cfg)
                 return mag, state
 
