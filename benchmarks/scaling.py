@@ -1,15 +1,31 @@
-"""Sharded-throughput scaling benchmark.
+"""Sharded-throughput scaling benchmark (chips and hosts).
 
 Measures steady-state per-buffer throughput of the sharded step
 (octproz_tpu.parallel.make_sharded_step) over increasing mesh sizes and
 reports scaling efficiency vs linear -- the harness for the BASELINE
 multi-chip targets (>85% linear scaling to 2 hosts).
 
-On real hardware run as-is (all local devices).  Without hardware, run on a
-virtual CPU mesh to validate the mechanics:
+Modes:
 
-    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python benchmarks/scaling.py --virtual
+* default: 1-D chip sweep over all local devices (1, 2, 4, ... chips).
+* ``--hosts N``: simulated multi-host sweep in ONE process -- a
+  (host, bscan, ascan) mesh over local/virtual devices, exercising the DCN
+  host axis (FPN psum across hosts) without a cluster.
+* ``--coordinator HOST:PORT --num-processes N --process-id I``: REAL
+  multi-process run (one invocation per host, e.g. one per TPU worker or
+  one per CPU test process).  Each process feeds its local B-scan block
+  (feed_from_local) and the reported rate is the global buffer rate.
+  CPU example (2 hosts x 2 devices, run in two shells):
+
+      python benchmarks/scaling.py --coordinator localhost:9377 \
+          --num-processes 2 --process-id 0 --cpu-devices 2
+      python benchmarks/scaling.py --coordinator localhost:9377 \
+          --num-processes 2 --process-id 1 --cpu-devices 2
+
+Without hardware, run on a virtual CPU mesh to validate the mechanics:
+
+    python benchmarks/scaling.py --virtual
+    python benchmarks/scaling.py --virtual --hosts 2
 
 (virtual devices share host cores, so CPU "scaling" measures partitioning
 overhead, not speedup).  Prints one JSON line per mesh size.
@@ -28,12 +44,28 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_scaling(mesh_sizes, acq, cfg, n_iters: int = 20, warmup: int = 2):
+def _measure(step, raw, curves, state, acq, n_iters, warmup, fetch=None):
+    import jax
+
+    for _ in range(warmup):
+        out, state = step(raw, curves, state)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out, state = step(raw, curves, state)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    rate = n_iters * acq.ascans_per_buffer / dt
+    return rate, dt / n_iters
+
+
+def run_scaling(mesh_builders, acq, cfg, n_iters: int = 20, warmup: int = 2):
+    """mesh_builders: list of (label_dict, fn() -> Mesh)."""
     import jax
     import jax.numpy as jnp
 
     from octproz_tpu import curves as curves_mod, pipeline
-    from octproz_tpu.parallel import make_mesh, make_sharded_step
+    from octproz_tpu.parallel import buffer_pspec, make_sharded_step
 
     curves = curves_mod.make_curves(
         acq, cfg, resample_coeffs=(0.0, float(acq.samples_per_line - 1), 10.0, -4.0),
@@ -42,38 +74,79 @@ def run_scaling(mesh_sizes, acq, cfg, n_iters: int = 20, warmup: int = 2):
     raw_np = rng.integers(0, 4095, size=acq.buffer_shape).astype(np.uint16)
 
     results = []
-    base_rate = None
-    for n_dev in mesh_sizes:
-        mesh = make_mesh(n_dev, 1, devices=jax.devices()[:n_dev])
+    base = None  # (n_devices, rate)
+    for label, build in mesh_builders:
+        mesh = build()
+        n_dev = mesh.devices.size
         step = make_sharded_step(acq, cfg, mesh)
         state = pipeline.initial_fpn_state(acq)
         raw = jax.device_put(
             jnp.asarray(raw_np),
-            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("bscan", "ascan", None)))
-        for _ in range(warmup):
-            out, state = step(raw, curves, state)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            out, state = step(raw, curves, state)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        rate = n_iters * acq.ascans_per_buffer / dt
-        if base_rate is None:
-            base_rate = rate
-        eff = rate / (base_rate * n_dev / mesh_sizes[0])
-        rec = {"devices": n_dev, "ascans_per_s": round(rate, 1),
-               "ms_per_buffer": round(dt / n_iters * 1e3, 2),
-               "scaling_efficiency": round(eff, 3)}
+            jax.sharding.NamedSharding(mesh, buffer_pspec(mesh)))
+        rate, per_buf = _measure(step, raw, curves, state, acq, n_iters, warmup)
+        if base is None:
+            base = (n_dev, rate)
+        eff = rate / (base[1] * n_dev / base[0])
+        rec = dict(label, devices=n_dev, ascans_per_s=round(rate, 1),
+                   ms_per_buffer=round(per_buf * 1e3, 2),
+                   scaling_efficiency=round(eff, 3))
         results.append(rec)
         print(json.dumps(rec), flush=True)
     return results
+
+
+def run_distributed(args, acq, cfg):
+    """One process of a real multi-host run."""
+    from octproz_tpu.parallel import multihost
+
+    multihost.initialize(
+        args.coordinator, args.num_processes, args.process_id,
+        platform="cpu" if args.cpu_devices else None,
+        local_device_count=args.cpu_devices or None)
+
+    import jax
+
+    from octproz_tpu import curves as curves_mod, pipeline
+    from octproz_tpu.parallel import (feed_from_local, local_bscan_range,
+                                      make_multihost_mesh, make_sharded_step)
+
+    mesh = make_multihost_mesh(n_ascan_shards=args.ascan_shards)
+    curves = curves_mod.make_curves(
+        acq, cfg, resample_coeffs=(0.0, float(acq.samples_per_line - 1), 10.0, -4.0),
+        dispersion_coeffs=(0.0, 0.0, 8.0, 0.0))
+    step = make_sharded_step(acq, cfg, mesh)
+    state = pipeline.initial_fpn_state(acq)
+
+    rng = np.random.default_rng(0)
+    lo, hi = local_bscan_range(acq, mesh)
+    raw_local = rng.integers(0, 4095,
+                             size=(hi - lo,) + acq.buffer_shape[1:]
+                             ).astype(np.uint16)
+    raw = feed_from_local(raw_local, acq, mesh)
+
+    rate, per_buf = _measure(step, raw, curves, state, acq, args.iters, 2)
+    rec = {"hosts": jax.process_count(), "process": jax.process_index(),
+           "devices": mesh.devices.size,
+           "ascans_per_s": round(rate, 1),
+           "ms_per_buffer": round(per_buf * 1e3, 2)}
+    print(json.dumps(rec), flush=True)
+    return rec
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--virtual", action="store_true",
                    help="force an 8-device virtual CPU mesh")
+    p.add_argument("--hosts", type=int, default=0,
+                   help="simulated multi-host sweep: (host, bscan, ascan) "
+                        "meshes with this many hosts")
+    p.add_argument("--coordinator", help="HOST:PORT for a real multi-process "
+                                         "run (jax.distributed)")
+    p.add_argument("--num-processes", type=int, default=0)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--cpu-devices", type=int, default=0,
+                   help="virtual CPU devices per process (distributed mode)")
+    p.add_argument("--ascan-shards", type=int, default=1)
     p.add_argument("--samples", type=int, default=1024)
     p.add_argument("--ascans", type=int, default=128)
     p.add_argument("--bscans", type=int, default=64)
@@ -81,7 +154,6 @@ def main():
     args = p.parse_args()
 
     if args.virtual:
-        import os
         os.environ["JAX_PLATFORMS"] = "cpu"
         flags = os.environ.get("XLA_FLAGS", "")
         if "xla_force_host_platform_device_count" not in flags:
@@ -89,20 +161,46 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    import jax
-
     from octproz_tpu.params import AcqParams, FpnMode, Interpolation, ProcConfig
 
-    n_avail = len(jax.devices())
-    mesh_sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
     acq = AcqParams(samples_per_line=args.samples, ascans_per_bscan=args.ascans,
                     bscans_per_buffer=args.bscans, bit_depth=12)
     cfg = ProcConfig(bitshift=True, resampling=True,
                      interpolation=Interpolation.CUBIC, windowing=True,
                      dispersion=True, fpn_mode=FpnMode.ONCE, log_scaling=True,
-                     fft_via_matmul=True,
-                     fold_backend="xla" if args.virtual else "pallas")
-    run_scaling(mesh_sizes, acq, cfg, n_iters=args.iters)
+                     fft_via_matmul=True)
+
+    if args.coordinator:
+        cfg_d = cfg if not (args.virtual or args.cpu_devices) else \
+            __import__("dataclasses").replace(cfg, fold_backend="xla")
+        run_distributed(args, acq, cfg_d)
+        return
+
+    import dataclasses
+
+    import jax
+
+    if jax.default_backend() != "tpu":
+        cfg = dataclasses.replace(cfg, fold_backend="xla")
+
+    from octproz_tpu.parallel import make_mesh, make_simulated_multihost_mesh
+
+    n_avail = len(jax.devices())
+    if args.hosts:
+        per_host = n_avail // args.hosts
+        builders = [({"hosts": 1}, lambda ph=per_host: make_mesh(ph, 1))]
+        builders += [
+            ({"hosts": h},
+             lambda h=h, ph=per_host: make_simulated_multihost_mesh(h, ph, 1))
+            for h in (2, 4, 8) if h <= args.hosts
+        ]
+        run_scaling(builders, acq, cfg, n_iters=args.iters)
+        return
+
+    mesh_sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
+    builders = [({"mesh": f"{n}x1"}, lambda n=n: make_mesh(n, 1, devices=jax.devices()[:n]))
+                for n in mesh_sizes]
+    run_scaling(builders, acq, cfg, n_iters=args.iters)
 
 
 if __name__ == "__main__":

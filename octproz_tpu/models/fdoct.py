@@ -53,12 +53,52 @@ class FdOctModel:
         self.mesh = mesh
         if mesh is not None:
             # multi-chip: shard the per-buffer step over the device mesh
-            # (B-scan blocks across devices; see parallel/sharding.py)
+            # (B-scan blocks across devices; see parallel/sharding.py).
+            # Works for (bscan, ascan) meshes and multi-host
+            # (host, bscan, ascan) meshes alike.
             from ..parallel import make_sharded_step
 
             self._step = make_sharded_step(acq, cfg, mesh)
         else:
             self._step = pipeline.make_step(acq, cfg)
+
+    @property
+    def is_multihost(self) -> bool:
+        import jax as _jax
+
+        from ..parallel import AXIS_HOST
+
+        return (self.mesh is not None
+                and AXIS_HOST in self.mesh.axis_names
+                and _jax.process_count() > 1)
+
+    def put_buffer(self, raw) -> jax.Array:
+        """Commit a host raw buffer to the device(s) with the right sharding.
+
+        Single device: plain transfer.  Mesh: device_put with the buffer
+        PartitionSpec (B-scan blocks over devices).  Multi-host mesh: ``raw``
+        is THIS process's local B-scan block (see
+        parallel.multihost.local_bscan_range) and is committed as its shard
+        of the global buffer — raw data never crosses hosts.
+        """
+        if self.mesh is None:
+            return jnp.asarray(raw)
+        from ..parallel import buffer_pspec, feed_from_local
+
+        if self.is_multihost:
+            return feed_from_local(np.asarray(raw), self.acq, self.mesh)
+        return jax.device_put(
+            jnp.asarray(raw),
+            jax.sharding.NamedSharding(self.mesh, buffer_pspec(self.mesh)))
+
+    def fetch(self, arr) -> np.ndarray:
+        """D2H fetch of a processed buffer: the full array on a single host,
+        this process's contiguous B-scan block on a multi-host mesh (the
+        per-host analog of the GPU->host streaming fetch,
+        cuda_code.cu:1357-1386)."""
+        from ..parallel import multihost as _mh
+
+        return _mh.fetch(arr)
 
     # -- live re-tuning (reference: sidebar edits -> updateResampleCurve etc.,
     #    octalgorithmparameters.cpp:141-249) ---------------------------------
@@ -99,8 +139,11 @@ class FdOctModel:
     def process_buffer(self, raw) -> jax.Array:
         """raw uint (bscans, ascans, samples) -> float32 processed half-volume.
 
-        Updates the carried FPN state (async dispatch; no host sync)."""
-        raw = jnp.asarray(raw)
+        Updates the carried FPN state (async dispatch; no host sync).  On a
+        multi-host mesh, pass this process's LOCAL B-scan block (the rest of
+        the buffer is fed by the other hosts)."""
+        if not isinstance(raw, jax.Array):
+            raw = self.put_buffer(raw)
         processed, self.fpn_state = self._step(raw, self.curves, self.fpn_state)
         return processed
 

@@ -3,8 +3,14 @@
 The reference application is strictly single-GPU (SURVEY.md section 2.3); its
 intra-device concurrency is 8 rotating CUDA streams + a batched cuFFT plan
 (octproz_project/octproz/src/cuda_code.cu:42,1140,1396).  The TPU-native
-scale-out re-expresses the same workload over a 2-D ``jax.sharding.Mesh``:
+scale-out re-expresses the same workload over a ``jax.sharding.Mesh`` with up
+to three axes:
 
+* ``AXIS_HOST`` ("host parallelism", DCN): present on multi-host meshes built
+  by :mod:`octproz_tpu.parallel.multihost` — each host (process) feeds its
+  own contiguous block of B-scans from its local acquisition stream and owns
+  the devices of one mesh row.  Combined with AXIS_BSCAN into the leading
+  B-scan sharding, host-major.
 * ``AXIS_BSCAN`` ("volume parallelism", analog of data parallelism): B-scan
   blocks of a buffer are distributed across devices.  Every per-A-scan stage
   (decode, DC removal, resample matmul, window/phase, IFFT, scaling) is
@@ -19,11 +25,12 @@ scale-out re-expresses the same workload over a 2-D ``jax.sharding.Mesh``:
 Cross-device communication (the part the reference has no equivalent of):
 
 * **Fixed-pattern-noise statistics** (cuda_code.cu:523-565) reduce over the
-  first ``bscans_for_noise`` B-scans, which span shards on both axes.  Each
+  first ``bscans_for_noise`` B-scans, which span shards on all axes.  Each
   shard computes per-segment complex sums and power sums for *its* lines via
   a one-hot segment-membership matmul (an MXU op), and the partial sums are
-  combined with an explicit ``lax.psum`` over both mesh axes inside
-  ``shard_map``.  The minimum-variance selection then runs replicated.
+  combined with an explicit ``lax.psum`` over every mesh axis inside
+  ``shard_map`` — ICI within a host row, DCN across hosts.  The
+  minimum-variance selection then runs replicated.
 * **Geometric postprocessing** (B-scan flip, sinusoidal correction, post
   background) runs *outside* ``shard_map`` on the GSPMD-partitioned global
   array: the static gathers / axis reversals along the sharded fast axis are
@@ -31,9 +38,19 @@ Cross-device communication (the part the reference has no equivalent of):
   (collective-permute) on ICI automatically.  The sinusoidal curve is static
   per configuration, so the exchange pattern is fixed at compile time.
 
+Steady-state hot path: when the config allows it (``fused_scale``, Pallas
+fold, FPN off/once) the shard body runs the SAME single-pass
+``fused_depth_scale`` kernel as the single-chip pipeline — decode + folded
+GEMM + FPN subtraction + dynamic-range scaling in one VMEM pass — so the
+sharded path has the single-chip HBM traffic profile.  The
+FPN-determination buffer takes the unfused branch (with the psum) via
+``lax.cond`` on the replicated ``determined`` flag; all devices take the
+same branch, so the collective stays uniform across the mesh.
+
 Test strategy: tests/test_sharding.py runs this on an 8-device CPU mesh
 (``--xla_force_host_platform_device_count=8``) and asserts bit-parity with
-the single-device pipeline.
+the single-device pipeline; tests/test_multihost.py repeats it across real
+OS processes over a gloo-backed 2-host CPU cluster.
 """
 
 from __future__ import annotations
@@ -52,6 +69,7 @@ from .. import pipeline as _pipeline
 from ..ops import fpn as _fpn
 from ..ops import postprocess as _postprocess
 
+AXIS_HOST = "host"
 AXIS_BSCAN = "bscan"
 AXIS_ASCAN = "ascan"
 
@@ -65,6 +83,8 @@ def make_mesh(
 
     Defaults to all local devices on the B-scan axis — the production layout
     for volume streaming (one buffer's B-scan blocks spread over the slice).
+    Multi-host meshes (leading host axis over DCN) are built by
+    :func:`octproz_tpu.parallel.multihost.make_multihost_mesh`.
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_bscan_shards is None:
@@ -77,12 +97,25 @@ def make_mesh(
     return Mesh(dev_array, (AXIS_BSCAN, AXIS_ASCAN))
 
 
+def buffer_pspec(mesh: Mesh) -> P:
+    """PartitionSpec of a raw/processed buffer on this mesh: B-scans over
+    (host-major) leading axes, A-scans over the fast axis."""
+    if AXIS_HOST in mesh.axis_names:
+        return P((AXIS_HOST, AXIS_BSCAN), AXIS_ASCAN, None)
+    return P(AXIS_BSCAN, AXIS_ASCAN, None)
+
+
+def _mesh_axes(mesh: Mesh) -> Tuple[str, ...]:
+    return tuple(mesh.axis_names)
+
+
 # ---------------------------------------------------------------------------
 # Sharded fixed-pattern-noise statistics
 # ---------------------------------------------------------------------------
 
 def _sharded_fpn_mean_line(z_re_local: jnp.ndarray, z_im_local: jnp.ndarray,
-                           acq: AcqParams, cfg: ProcConfig
+                           acq: AcqParams, cfg: ProcConfig,
+                           axes: Tuple[str, ...], n_bscan_shards: int
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Minimum-variance mean line from psum-combined per-shard statistics.
 
@@ -93,10 +126,15 @@ def _sharded_fpn_mean_line(z_re_local: jnp.ndarray, z_im_local: jnp.ndarray,
     ascans_per_bscan`` *global* lines are split into FPN_SEGMENTS segments of
     ``n_noise // FPN_SEGMENTS`` consecutive lines; per depth index the mean
     of the minimum-variance segment wins.  Returns (mean_re, mean_im).
+
+    The psum spans every mesh axis in ``axes`` — ICI within a host, DCN
+    across hosts on multi-host meshes.
     """
     segs = FPN_SEGMENTS
     b_loc, a_loc, depth = z_re_local.shape
     ib = lax.axis_index(AXIS_BSCAN)
+    if AXIS_HOST in axes:
+        ib = lax.axis_index(AXIS_HOST) * n_bscan_shards + ib
     ia = lax.axis_index(AXIS_ASCAN)
 
     # Global (buffer-order) line index of every local line: lines are B-scan
@@ -119,8 +157,7 @@ def _sharded_fpn_mean_line(z_re_local: jnp.ndarray, z_im_local: jnp.ndarray,
     sum_im = onehot @ lim
     sum_sq = onehot @ (lre ** 2 + lim ** 2)                   # (segs, depth)
 
-    sum_re, sum_im, sum_sq = lax.psum(
-        (sum_re, sum_im, sum_sq), (AXIS_BSCAN, AXIS_ASCAN))
+    sum_re, sum_im, sum_sq = lax.psum((sum_re, sum_im, sum_sq), axes)
 
     return _fpn.select_min_variance_mean_planar(sum_re, sum_im, sum_sq, seg_width)
 
@@ -130,40 +167,68 @@ def _sharded_fpn_mean_line(z_re_local: jnp.ndarray, z_im_local: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _core_local(raw_local: jnp.ndarray, curves: Curves, fpn_state: FpnState,
-                acq: AcqParams, cfg: ProcConfig) -> Tuple[jnp.ndarray, FpnState]:
+                acq: AcqParams, cfg: ProcConfig,
+                axes: Tuple[str, ...], n_bscan_shards: int
+                ) -> Tuple[jnp.ndarray, FpnState]:
     """Per-shard slice of the pipeline: decode .. log scaling (shard_map body).
 
-    Unlike the single-device path (pipeline.apply_fpn), the FPN statistics are
-    computed unconditionally and the reuse decision is a ``where``-select:
-    collectives must run uniformly across the mesh, so we avoid putting the
-    psum inside a ``lax.cond`` branch.  The redundant statistics matmul after
-    determination is negligible next to the FFT.
+    Mirrors pipeline.process_buffer's structure: the steady-state path is the
+    single-pass fused kernel (GEMM + FPN subtraction + scaling in VMEM) when
+    the config allows it; FPN determination runs the unfused branch with the
+    psum-combined statistics.  The ``lax.cond`` predicate (``determined``) is
+    replicated across the mesh, so every device takes the same branch and the
+    collective inside the unfused branch stays uniform.
     """
     half = acq.output_ascan_length
-    if cfg.fft_via_matmul:
-        from ..pallas.fused_prep import fused_depth_transform
-        z_re, z_im = fused_depth_transform(raw_local, curves.depth_op_re,
-                                           curves.depth_op_im, acq, cfg)
-    else:
-        spectra = _pipeline.prep_spectra(raw_local, curves, acq, cfg)
-        z_half = _pipeline.transform_to_depth(spectra, half)
-        z_re, z_im = z_half.real, z_half.imag
 
-    if cfg.fpn_mode != FpnMode.OFF:
-        computed = FpnState.pack(*_sharded_fpn_mean_line(z_re, z_im, acq, cfg))
-        if cfg.fpn_mode == FpnMode.CONTINUOUS:
-            mean_line = computed
-        else:  # ONCE (cuda_code.cu:1521-1524)
-            mean_line = jnp.where(fpn_state.determined, fpn_state.mean_line, computed)
-        fpn_state = FpnState(mean_line=mean_line, determined=jnp.ones((), jnp.bool_))
-        z_re = z_re - mean_line[0]
-        z_im = z_im - mean_line[1]
+    def unfused(state):
+        if cfg.fft_via_matmul:
+            from ..pallas.fused_prep import fused_depth_transform
+            z_re, z_im = fused_depth_transform(raw_local, curves.depth_op_re,
+                                               curves.depth_op_im, acq, cfg)
+        else:
+            spectra = _pipeline.prep_spectra(raw_local, curves, acq, cfg)
+            z_half = _pipeline.transform_to_depth(spectra, half)
+            z_re, z_im = z_half.real, z_half.imag
 
-    scale = (_postprocess.scale_log_planar if cfg.log_scaling
-             else _postprocess.scale_lin_planar)
-    mag = scale(z_re, z_im, half, cfg.grayscale_min, cfg.grayscale_max,
-                cfg.addend, cfg.multiplicator)
-    return mag, fpn_state
+        if cfg.fpn_mode != FpnMode.OFF:
+            computed = FpnState.pack(*_sharded_fpn_mean_line(
+                z_re, z_im, acq, cfg, axes, n_bscan_shards))
+            if cfg.fpn_mode == FpnMode.CONTINUOUS:
+                mean_line = computed
+            else:  # ONCE (cuda_code.cu:1521-1524)
+                mean_line = jnp.where(state.determined, state.mean_line,
+                                      computed)
+            state = FpnState(mean_line=mean_line,
+                             determined=jnp.ones((), jnp.bool_))
+            z_re = z_re - mean_line[0]
+            z_im = z_im - mean_line[1]
+
+        scale = (_postprocess.scale_log_planar if cfg.log_scaling
+                 else _postprocess.scale_lin_planar)
+        mag = scale(z_re, z_im, half, cfg.grayscale_min, cfg.grayscale_max,
+                    cfg.addend, cfg.multiplicator)
+        return mag, state
+
+    fusable = (cfg.fft_via_matmul and cfg.fused_scale
+               and cfg.fold_backend == "pallas"
+               and cfg.fpn_mode in (FpnMode.OFF, FpnMode.ONCE))
+    if not fusable:
+        return unfused(fpn_state)
+
+    from ..pallas.fused_prep import fused_depth_scale
+
+    def fused(state):
+        # OFF ignores any carried state — subtract zeros (see pipeline.py)
+        mean = (jnp.zeros_like(state.mean_line)
+                if cfg.fpn_mode == FpnMode.OFF else state.mean_line)
+        mag = fused_depth_scale(raw_local, curves.depth_op_re,
+                                curves.depth_op_im, mean, acq, cfg)
+        return mag, state
+
+    if cfg.fpn_mode == FpnMode.OFF:
+        return fused(fpn_state)
+    return lax.cond(fpn_state.determined, fused, unfused, fpn_state)
 
 
 def sharded_process_buffer(
@@ -176,16 +241,19 @@ def sharded_process_buffer(
 ) -> Tuple[jnp.ndarray, FpnState]:
     """Sharded analog of pipeline.process_buffer.
 
-    raw: uint (bscans, ascans, samples), sharded (AXIS_BSCAN, AXIS_ASCAN, -).
+    raw: uint (bscans, ascans, samples), sharded per :func:`buffer_pspec`.
     Returns (float32 (bscans, ascans, samples//2) with the same sharding,
     replicated FpnState).
     """
-    core = functools.partial(_core_local, acq=acq, cfg=cfg)
+    axes = _mesh_axes(mesh)
+    core = functools.partial(_core_local, acq=acq, cfg=cfg, axes=axes,
+                             n_bscan_shards=mesh.shape[AXIS_BSCAN])
+    spec = buffer_pspec(mesh)
     mag, fpn_state = jax.shard_map(
         core,
         mesh=mesh,
-        in_specs=(P(AXIS_BSCAN, AXIS_ASCAN, None), P(), P()),
-        out_specs=(P(AXIS_BSCAN, AXIS_ASCAN, None), P()),
+        in_specs=(spec, P(), P()),
+        out_specs=(spec, P()),
         check_vma=False,
     )(raw, curves, fpn_state)
 
@@ -193,8 +261,7 @@ def sharded_process_buffer(
     # A-scan-axis reversal and the static sinusoidal gather cross shard
     # boundaries on AXIS_ASCAN; XLA partitions them and inserts the boundary
     # exchange collectives.
-    mag = lax.with_sharding_constraint(
-        mag, NamedSharding(mesh, P(AXIS_BSCAN, AXIS_ASCAN, None)))
+    mag = lax.with_sharding_constraint(mag, NamedSharding(mesh, spec))
     mag = _pipeline.postprocess_volume(mag, curves, cfg)
     return mag, fpn_state
 
@@ -204,11 +271,13 @@ def make_sharded_step(acq: AcqParams, cfg: ProcConfig, mesh: Mesh,
                       donate_raw: bool = False):
     """Jit-compiled sharded per-buffer step for a static (acq, cfg, mesh).
 
-    Returns ``step(raw, curves, fpn_state) -> (processed, fpn_state)`` with
+    Works for single-host (bscan, ascan) meshes and multi-host
+    (host, bscan, ascan) meshes alike.  Returns
+    ``step(raw, curves, fpn_state) -> (processed, fpn_state)`` with
     committed input/output shardings: raw and the processed volume block-
-    sharded over (bscan, ascan), curves and FPN state replicated.
+    sharded per :func:`buffer_pspec`, curves and FPN state replicated.
     """
-    sharded = NamedSharding(mesh, P(AXIS_BSCAN, AXIS_ASCAN, None))
+    sharded = NamedSharding(mesh, buffer_pspec(mesh))
     replicated = NamedSharding(mesh, P())
 
     from ..curves import consumed_fields

@@ -345,7 +345,9 @@ class StreamingEngine:
         buffer_nr, dev = in_flight.pop(0)
         if dev is None:
             return
-        host = np.asarray(dev)  # D2H fetch (the gpu2hostnotifier moment)
+        # D2H fetch (the gpu2hostnotifier moment); on a multi-host mesh each
+        # process fetches only its own B-scan block (model.fetch)
+        host = self.model.fetch(dev)
         if self.processed_recorder.recording:
             self.processed_recorder.record_buffer(host, buffer_nr)
             if (not self.processed_recorder.recording
