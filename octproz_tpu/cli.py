@@ -277,6 +277,35 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_compare(args) -> int:
+    """Fidelity harness: PSNR/SSIM of a processed volume vs a reference
+    volume (BASELINE: 'B-scan PSNR vs reference within its SNR bound').
+
+    Workflow for an externally produced reference (e.g. the reference
+    application's recorded output on the figshare volume,
+    /root/reference/README.md:70-72):
+
+        octproz_tpu process in.raw ... --output got.raw
+        octproz_tpu compare got.raw ref.raw --bscans B --ascans A \\
+            --depth D --ref-dtype uint8 --min-psnr 25
+    """
+    from .utils.fidelity import compare_volumes, load_volume
+
+    shape = (args.bscans, args.ascans, args.depth)
+    got = load_volume(args.got, shape, dtype=args.dtype)
+    ref = load_volume(args.ref, shape, dtype=args.ref_dtype)
+    clip = (0.0, 1.0) if args.clip01 else None
+    res = compare_volumes(got, ref, data_range=args.data_range, clip=clip)
+    out = res.to_dict()
+    if args.min_psnr is not None:
+        out["min_psnr_required_db"] = args.min_psnr
+        out["passed"] = bool(res.psnr_db >= args.min_psnr)
+    print(json.dumps(out))
+    if args.min_psnr is not None and not out["passed"]:
+        return 1
+    return 0
+
+
 def cmd_info(args) -> int:
     from . import __version__
     from .utils.deviceinfo import format_report
@@ -371,6 +400,28 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument("--lut", default=None)
     pv.add_argument("--out", required=True)
     pv.set_defaults(fn=cmd_render)
+
+    pc = sub.add_parser("compare",
+                        help="PSNR/SSIM of a processed volume vs a reference")
+    pc.add_argument("got", help="this pipeline's processed volume (.raw)")
+    pc.add_argument("ref", help="reference volume (.raw)")
+    pc.add_argument("--bscans", type=int, required=True)
+    pc.add_argument("--ascans", type=int, required=True)
+    pc.add_argument("--depth", type=int, required=True)
+    pc.add_argument("--dtype", default="float32",
+                    choices=["float32", "float64", "uint8", "uint16", "uint32"])
+    pc.add_argument("--ref-dtype", default="float32",
+                    choices=["float32", "float64", "uint8", "uint16", "uint32"],
+                    help="reference file sample type (quantized uints are "
+                         "scaled to [0,1], inverting floatToOutput)")
+    pc.add_argument("--data-range", type=float, default=None,
+                    help="PSNR peak range; default: reference max-min")
+    pc.add_argument("--clip01", action="store_true",
+                    help="clip both volumes to [0,1] first (display range; "
+                         "keeps log-floor voxels from dominating the MSE)")
+    pc.add_argument("--min-psnr", type=float, default=None,
+                    help="exit non-zero if overall PSNR is below this (dB)")
+    pc.set_defaults(fn=cmd_compare)
 
     pi = sub.add_parser("info", help="device + version report")
     pi.set_defaults(fn=cmd_info)
