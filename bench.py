@@ -34,6 +34,54 @@ import numpy as np
 BASELINE_MHZ = 3.40
 
 
+def _fold_flops_per_buffer(acq) -> int:
+    """FLOP model of the folded-GEMM formulation (pallas/fused_prep.py):
+    two (lines x n_in) x (n_in, half) GEMMs per buffer (planar re/im)."""
+    lines = acq.ascans_per_buffer
+    return 4 * lines * acq.samples_per_line * acq.output_ascan_length
+
+
+def _psnr_vs_float32(cfg) -> float:
+    """Fidelity gate for reduced-precision attempts: PSNR (dB) of one
+    processed buffer vs the float32 fold on the SAME raw data — the TPU
+    analog of the reference's fast-math trade (octproz/pri/cuda.pri:66-71),
+    measured instead of assumed."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from octproz_tpu import curves as curves_mod
+    from octproz_tpu import pipeline
+    from octproz_tpu.params import AcqParams, WindowType
+
+    acq = AcqParams(samples_per_line=1024, ascans_per_bscan=512,
+                    bscans_per_buffer=32, buffers_per_volume=1, bit_depth=12)
+
+    @jax.jit
+    def gen(key):
+        return jax.random.randint(key, acq.buffer_shape, 0, 4096,
+                                  dtype=jnp.int32).astype(jnp.uint16)
+
+    raw = gen(jax.random.PRNGKey(7))
+    outs = {}
+    for name, c in (("got", cfg),
+                    ("ref", _dc.replace(cfg, compute_dtype="float32"))):
+        curves = curves_mod.make_curves(
+            acq, c,
+            resample_coeffs=(0.0, float(acq.samples_per_line - 1), 20.0, -10.0),
+            dispersion_coeffs=(0.0, 0.0, 10.0, 0.0),
+            window_type=WindowType.HANNING)
+        step = pipeline.make_step(acq, c)
+        out, _ = step(raw, curves, pipeline.initial_fpn_state(acq))
+        outs[name] = np.asarray(out, np.float64)
+    ref, got = outs["ref"], outs["got"]
+    fin = np.isfinite(ref) & np.isfinite(got)
+    rng_ = float(ref[fin].max() - ref[fin].min()) or 1.0
+    mse = float(np.mean((got[fin] - ref[fin]) ** 2))
+    return 10.0 * np.log10(rng_ ** 2 / max(mse, 1e-30))
+
+
 def _run(cfg, n_iters: int = 40, chunk: int = 1) -> float:
     import jax
     import jax.numpy as jnp
@@ -177,14 +225,30 @@ def _attempt(spec: str) -> None:
         log_scaling=True,
         fft_via_matmul=True,
     )
+    cfg = dataclasses.replace(base, fold_backend=backend,
+                              compute_dtype=compute_dtype)
+
+    # Reduced-precision attempts must PASS fidelity before they may be the
+    # recorded headline number (VERDICT: fastest fidelity-passing config).
+    psnr_db = None
+    if compute_dtype != "float32":
+        psnr_db = _psnr_vs_float32(cfg)
+        if psnr_db < 30.0:
+            raise SystemExit(
+                f"bench: {spec} failed the fidelity gate: "
+                f"{psnr_db:.1f} dB PSNR vs float32 (need >= 30)")
+
     n_iters = 32 * chunk if chunk > 1 else 40
-    rate_mhz = _run(dataclasses.replace(base, fold_backend=backend,
-                                        compute_dtype=compute_dtype),
-                    n_iters=n_iters, chunk=chunk)
+    rate_mhz = _run(cfg, n_iters=n_iters, chunk=chunk)
 
     import jax
 
-    print(json.dumps({
+    from octproz_tpu.params import AcqParams
+
+    acq = AcqParams(samples_per_line=1024, ascans_per_bscan=512,
+                    bscans_per_buffer=256, buffers_per_volume=1, bit_depth=12)
+    buffers_per_s = rate_mhz * 1e6 / acq.ascans_per_buffer
+    record = {
         "metric": "equivalent_ascan_rate",
         "value": round(rate_mhz, 3),
         "unit": "MHz",
@@ -193,7 +257,12 @@ def _attempt(spec: str) -> None:
         "chunk": chunk,
         "compute_dtype": compute_dtype,
         "platform": jax.devices()[0].platform,
-    }))
+        "ms_per_buffer": round(1e3 / buffers_per_s, 3),
+        "tflops": round(buffers_per_s * _fold_flops_per_buffer(acq) / 1e12, 2),
+    }
+    if psnr_db is not None:
+        record["psnr_vs_float32_db"] = round(psnr_db, 1)
+    print(json.dumps(record))
 
 
 def main() -> None:
@@ -214,8 +283,10 @@ def main() -> None:
         return
 
     force_cpu = bool(os.environ.get("OCTPROZ_BENCH_FORCE_CPU"))
-    attempts = (["pallas:8", "xla:8", "pallas", "xla"] if not force_cpu
-                else ["xla"])
+    # fastest-first; reduced-precision attempts self-gate on PSNR vs the
+    # float32 fold and fall through to the next spec if they fail
+    attempts = (["pallas:8:bfloat16", "pallas:8", "xla:8:bfloat16", "xla:8",
+                 "pallas", "xla"] if not force_cpu else ["xla"])
     # Final honest fallback: a clearly-labeled CPU measurement beats no
     # record when the accelerator is down.
     plans = [(b, dict(os.environ, OCTPROZ_BENCH_ATTEMPT=b)) for b in attempts]

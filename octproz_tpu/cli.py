@@ -76,6 +76,12 @@ def _add_proc_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--grayscale-max", type=float, default=60.0)
     g.add_argument("--bscan-flip", action="store_true")
     g.add_argument("--sinusoidal-correction", action="store_true")
+    g.add_argument("--post-background-removal", action="store_true",
+                   help="subtract the post-process background curve "
+                        "(cuda_code.cu:757-767); record it live with "
+                        "'replay --record-background N'")
+    g.add_argument("--post-bg-weight", type=float, default=1.0)
+    g.add_argument("--post-bg-offset", type=float, default=0.0)
     g.add_argument("--fused-prep", action="store_true",
                    help="use the fused Pallas prep kernel")
     g.add_argument("--fft-matmul", action="store_true",
@@ -106,6 +112,9 @@ def _build_config(args):
         grayscale_max=args.grayscale_max,
         bscan_flip=args.bscan_flip,
         sinusoidal_correction=args.sinusoidal_correction,
+        post_background_removal=args.post_background_removal,
+        post_background_weight=args.post_bg_weight,
+        post_background_offset=args.post_bg_offset,
         use_pallas_prep=args.fused_prep,
         fft_via_matmul=args.fft_matmul,
     )
@@ -231,9 +240,11 @@ def cmd_replay(args) -> int:
         from .viz.live import LiveView
 
         live = LiveView(port=args.live_port, host=args.live_host,
-                        lut=args.live_lut)
-        live.attach(eng)
+                        lut=args.live_lut, volume_render=args.live_volume)
+        live.attach(eng)  # auto-creates a ParamController (POST /control)
         print(f"live view: {live.url}", flush=True)
+    if args.record_background:
+        eng.record_post_background(args.record_background)
     if args.record:
         from .io.recorder import RecordingParams
 
@@ -365,6 +376,9 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--skip", type=int, default=0, help="streaming buffers to skip")
     pr.add_argument("--metrics-window", type=float, default=5.0)
     rec = pr.add_argument_group("recording (octprozapp.cpp:215-299 analog)")
+    rec.add_argument("--record-background", type=int, default=0, metavar="N",
+                     help="capture the post-process background from the "
+                          "next N processed buffers (cuda_code.cu:1556-1562)")
     rec.add_argument("--record", action="store_true")
     rec.add_argument("--record-dir", default=".")
     rec.add_argument("--record-name", default="recording")
@@ -383,6 +397,9 @@ def build_parser() -> argparse.ArgumentParser:
     live.add_argument("--live-port", type=int, default=8765)
     live.add_argument("--live-host", default="127.0.0.1")
     live.add_argument("--live-lut", default="gray")
+    live.add_argument("--live-volume", action="store_true",
+                      help="periodic 3D render of the assembled volume "
+                           "(GLWindow3D analog, throttled)")
     pr.set_defaults(fn=cmd_replay)
 
     pv = sub.add_parser("render", help="render a processed float32 volume")

@@ -51,16 +51,18 @@ class FdOctModel:
         self.curves: Curves = curves_mod.make_curves(acq, cfg, **self._curve_kwargs)
         self.fpn_state: FpnState = pipeline.initial_fpn_state(acq)
         self.mesh = mesh
-        if mesh is not None:
+        self._step = self._build_step()
+
+    def _build_step(self):
+        if self.mesh is not None:
             # multi-chip: shard the per-buffer step over the device mesh
             # (B-scan blocks across devices; see parallel/sharding.py).
             # Works for (bscan, ascan) meshes and multi-host
             # (host, bscan, ascan) meshes alike.
             from ..parallel import make_sharded_step
 
-            self._step = make_sharded_step(acq, cfg, mesh)
-        else:
-            self._step = pipeline.make_step(acq, cfg)
+            return make_sharded_step(self.acq, self.cfg, self.mesh)
+        return pipeline.make_step(self.acq, self.cfg)
 
     @property
     def is_multihost(self) -> bool:
@@ -128,6 +130,17 @@ class FdOctModel:
     def redetermine_fpn(self) -> None:
         """Reference: redetermineFixedPatternNoise request (cuda_code.cu:1521)."""
         self.fpn_state = pipeline.initial_fpn_state(self.acq)
+
+    def set_config(self, **changes) -> None:
+        """Replace static ProcConfig fields mid-stream (grayscale range,
+        FPN mode, scaling, ...).  These are trace-time constants, so this
+        swaps in a different compiled executable (cached per config) — the
+        analog of the reference switching its fused-kernel dispatch
+        (cuda_code.cu:1448-1511).  Curve-only re-tuning (set_klin_coeffs
+        etc.) stays recompile-free."""
+        self.cfg = dataclasses.replace(self.cfg, **changes)
+        self._rebuild_curves()  # consumed curve set may change with the cfg
+        self._step = self._build_step()
 
     def _rebuild_curves(self) -> None:
         post_bg = self.curves.post_background

@@ -229,6 +229,16 @@ class StreamingEngine:
         self._stop_requested = threading.Event()
         self._quantize = jax.jit(
             lambda x: quantize_mod.quantize(x, self.streaming_bit_depth))
+        # post-process background capture (cuda_code.cu:743-755, 1556-1562)
+        self._post_bg_remaining = 0
+        self._post_bg_total = 0
+        self._post_bg_accum = None
+        from .ops import postprocess as _pp
+
+        self._get_background = jax.jit(_pp.get_background)
+        # cheap replicated scalar probe used to bound host run-ahead when
+        # nothing is fetched (the blocking-event analog, cuda_code.cu:1416-1420)
+        self._probe = jax.jit(lambda x: x[0, 0, 0])
 
     # -- recording (octprozapp.cpp:215-299 / processing.cpp:231-267) --------
     def start_recording(self, params: RecordingParams) -> None:
@@ -264,6 +274,40 @@ class StreamingEngine:
     @property
     def recording(self) -> bool:
         return self.raw_recorder.recording or self.processed_recorder.recording
+
+    # -- post-process background capture (cuda_code.cu:743-767, 1556-1568) --
+    def record_post_background(self, n_buffers: int = 1) -> None:
+        """Capture the mean A-scan of the next ``n_buffers`` processed
+        buffers from the live stream and install it as the post-process
+        background curve (reference: record-on-request ->
+        getPostProcessBackground -> postProcessBackgroundRemoval,
+        cuda_code.cu:1556-1568).
+
+        The curve is a traced array: installing it does NOT recompile.  Like
+        the reference GUI flow, record with removal weight 0 / removal off;
+        if removal is already active the captured curve includes it (warned).
+        """
+        if n_buffers < 1:
+            raise ValueError("n_buffers must be >= 1")
+        if self.model.cfg.post_background_removal:
+            self.on_info("warning: post-background capture while removal is "
+                         "active records the already-corrected stream")
+        self._post_bg_total = n_buffers
+        self._post_bg_remaining = n_buffers
+        self._post_bg_accum = None
+
+    def _capture_post_background(self, processed) -> None:
+        bg = self._get_background(processed)  # device-side mean A-scan
+        self._post_bg_accum = (bg if self._post_bg_accum is None
+                               else self._post_bg_accum + bg)
+        self._post_bg_remaining -= 1
+        if self._post_bg_remaining == 0:
+            avg = np.asarray(self.model.fetch(self._post_bg_accum),
+                             np.float32) / self._post_bg_total
+            self.model.set_post_background(avg)
+            self._post_bg_accum = None
+            self.on_info(f"post-process background recorded "
+                         f"({self._post_bg_total} buffers averaged)")
 
     def stop(self) -> None:
         """Request the run loop to exit (octprozapp.cpp slot_stop analog)."""
@@ -307,6 +351,9 @@ class StreamingEngine:
 
                 processed = self.model.process_buffer(raw)  # async dispatch
 
+                if self._post_bg_remaining > 0:
+                    self._capture_post_background(processed)
+
                 # float32 processed recording bypasses quantization
                 # (streamProcessedFloatData analog, cuda_code.cu:1374-1386)
                 record_float = (self.processed_recorder.recording
@@ -314,11 +361,19 @@ class StreamingEngine:
                 fetch = (self.stream_to_host
                          and processed_count % (self.streaming_skip + 1) == 0)
                 if record_float:
-                    in_flight.append((buffer_nr, processed))
+                    in_flight.append((buffer_nr, processed, None))
                 elif fetch:
-                    in_flight.append((buffer_nr, self._quantize(processed)))
+                    in_flight.append((buffer_nr, self._quantize(processed),
+                                      None))
                 else:
-                    in_flight.append((buffer_nr, None))
+                    # nothing is fetched for this buffer: retain a cheap
+                    # device scalar so draining can still block on step
+                    # completion -- the explicit analog of the reference's
+                    # blocking CUDA event (cuda_code.cu:1416-1420).  Without
+                    # it nothing bounds how far the host runs ahead of the
+                    # device.
+                    in_flight.append((buffer_nr, None,
+                                      self._probe(processed)))
 
                 if len(in_flight) > self.max_in_flight:
                     self._drain_one(in_flight)
@@ -342,8 +397,10 @@ class StreamingEngine:
         return processed_count
 
     def _drain_one(self, in_flight: List[tuple]) -> None:
-        buffer_nr, dev = in_flight.pop(0)
+        buffer_nr, dev, throttle = in_flight.pop(0)
         if dev is None:
+            if throttle is not None:
+                jax.block_until_ready(throttle)  # back-pressure only
             return
         # D2H fetch (the gpu2hostnotifier moment); on a multi-host mesh each
         # process fetches only its own B-scan block (model.fetch)

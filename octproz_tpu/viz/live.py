@@ -9,12 +9,19 @@ and is usually remote, so the TPU-native equivalent is a tiny zero-dependency
 HTTP server (stdlib ``http.server``) that any browser on the network can
 watch:
 
-  /             one-page viewer (auto-refreshing images + live stats)
+  /             one-page viewer (auto-refreshing images + live stats +
+                parameter controls)
   /bscan.png    latest B-scan display frame (averaging/MIP over adjacent
                 frames, cuda_code.cu:810-866 semantics) through a color LUT
   /enface.png   latest en-face display frame (cuda_code.cu:868-912)
+  /volume.png   periodic 3D render of the assembled volume
+                (updateDisplayedVolume analog, cuda_code.cu:914-941)
   /ascan.json   centre A-scan of the latest frame (PlotWindow1D analog)
   /stats.json   throughput metrics window (info-box analog)
+  /params.json  current re-tunable parameters (sidebar state analog)
+  POST /control live parameter re-tuning: {"command": ..., ...} routed to a
+                ParamController (sidebar-edit / plugin-request analog,
+                SURVEY.md section 3.5, plugin.h:82-84)
 
 Frame updates are throttled like the reference's 80 ms redraw timer
 (glwindow3d.cpp:316-323): between ticks, incoming volumes only replace the
@@ -38,22 +45,76 @@ from .image import apply_lut, builtin_lut, to_uint8
 _PAGE = """<!doctype html>
 <html><head><title>octproz_tpu live</title><style>
  body{background:#111;color:#ddd;font-family:sans-serif;margin:1em}
- img{image-rendering:pixelated;border:1px solid #333;max-width:46vw}
+ img{image-rendering:pixelated;border:1px solid #333;max-width:31vw}
  #stats{font-family:monospace;white-space:pre}
  canvas{border:1px solid #333;background:#000}
+ #ctl input{width:4.5em;background:#222;color:#ddd;border:1px solid #444}
+ #ctl button{background:#234;color:#ddd;border:1px solid #456;margin:2px}
+ #ctlmsg{font-family:monospace;color:#8c8}
 </style></head><body>
 <h2>octproz_tpu live view</h2>
 <div id="stats">waiting for data...</div>
-<div><img id="bscan" alt="B-scan"> <img id="enface" alt="en-face"></div>
+<div><img id="bscan" alt="B-scan"> <img id="enface" alt="en-face">
+     <img id="volume" alt="volume" style="display:none"></div>
 <h3>centre A-scan</h3><canvas id="ascan" width="600" height="160"></canvas>
+<div id="ctl"><h3>live re-tuning</h3>
+ <div>dispersion d0-d3:
+  <input id="d0"><input id="d1"><input id="d2"><input id="d3">
+  <button onclick="setCoeffs('set_dispersion_coeffs','d')">apply</button></div>
+ <div>k-lin c0-c3:
+  <input id="c0"><input id="c1"><input id="c2"><input id="c3">
+  <button onclick="setCoeffs('set_klin_coeffs','c')">apply</button></div>
+ <div>grayscale min/max:
+  <input id="gmin"><input id="gmax">
+  <button onclick="setGray()">apply (recompiles)</button>
+  <button onclick="post({command:'redetermine_fpn'})">redetermine FPN</button>
+  <button onclick="post({command:'record_post_background',n:1})">record background</button></div>
+ <div id="ctlmsg"></div></div>
 <script>
+async function post(obj){
+  try {
+    const r = await (await fetch('/control', {method:'POST',
+      body: JSON.stringify(obj)})).json();
+    document.getElementById('ctlmsg').textContent = JSON.stringify(r);
+  } catch(e){ document.getElementById('ctlmsg').textContent = e; }
+}
+function setCoeffs(cmd, p){
+  const o = {command: cmd};
+  for (let i = 0; i < 4; i++)
+    o[p+i] = parseFloat(document.getElementById(p+i).value) || 0;
+  post(o);
+}
+function setGray(){
+  post({command:'set_grayscale',
+        min: parseFloat(document.getElementById('gmin').value) || 0,
+        max: parseFloat(document.getElementById('gmax').value) || 1});
+}
+let seeded = false;
+async function seed(){
+  try {
+    const p = await (await fetch('/params.json')).json();
+    if (!p.klin_coeffs) return;
+    for (let i = 0; i < 4; i++){
+      document.getElementById('c'+i).value = p.klin_coeffs[i];
+      document.getElementById('d'+i).value = p.dispersion_coeffs[i];
+    }
+    document.getElementById('gmin').value = p.grayscale_min;
+    document.getElementById('gmax').value = p.grayscale_max;
+    seeded = true;
+  } catch(e){}
+}
 async function tick(){
   const t = Date.now();
   document.getElementById('bscan').src = '/bscan.png?' + t;
   document.getElementById('enface').src = '/enface.png?' + t;
+  if (!seeded) seed();
   try {
     const s = await (await fetch('/stats.json')).json();
     document.getElementById('stats').textContent = s.info || JSON.stringify(s);
+    if (s.volume_renders){
+      const v = document.getElementById('volume');
+      v.style.display = ''; v.src = '/volume.png?' + t;
+    }
     const a = await (await fetch('/ascan.json')).json();
     const c = document.getElementById('ascan'), g = c.getContext('2d');
     g.clearRect(0,0,c.width,c.height); g.strokeStyle='#6cf'; g.beginPath();
@@ -95,7 +156,9 @@ class LiveView:
     def __init__(self, port: int = 0, host: str = "127.0.0.1",
                  lut: str = "gray", bscan_nr: int = 0, enface_depth: int = 0,
                  display_frames: int = 1, mip: bool = False,
-                 throttle_s: float = 0.08):
+                 throttle_s: float = 0.08, controller=None,
+                 volume_render: bool = False, volume_throttle_s: float = 1.0,
+                 volume_size: int = 224, volume_mode: str = "mip"):
         self._lock = threading.Lock()
         self._lut = builtin_lut(lut) if lut != "gray" else None
         self.bscan_nr = bscan_nr
@@ -106,9 +169,21 @@ class LiveView:
         self._last_render = 0.0
         self._bscan_png: Optional[bytes] = None
         self._enface_png: Optional[bytes] = None
+        self._volume_png: Optional[bytes] = None
         self._ascan: list = []
         self._stats: dict = {}
         self.frames_rendered = 0
+        # live re-tuning (ParamController; POST /control)
+        self._controller = controller
+        # live 3D view of the assembled volume (cuda_code.cu:914-941 analog),
+        # throttled much harder than the 2-D frames (a full raycast per tick)
+        self.volume_render = volume_render
+        self.volume_throttle_s = volume_throttle_s
+        self.volume_size = volume_size
+        self.volume_mode = volume_mode
+        self._assembler = None
+        self._last_volume_render = 0.0
+        self.volume_renders = 0
 
         view = self
 
@@ -124,12 +199,18 @@ class LiveView:
                     body, ctype = view._bscan_png or b"", "image/png"
                 elif path == "/enface.png":
                     body, ctype = view._enface_png or b"", "image/png"
+                elif path == "/volume.png":
+                    body, ctype = view._volume_png or b"", "image/png"
                 elif path == "/ascan.json":
                     body = json.dumps({"values": view._ascan}).encode()
                     ctype = "application/json"
                 elif path == "/stats.json":
                     with view._lock:
                         body = json.dumps(view._stats).encode()
+                    ctype = "application/json"
+                elif path == "/params.json":
+                    c = view._controller
+                    body = json.dumps(c.describe() if c else {}).encode()
                     ctype = "application/json"
                 else:
                     self.send_error(404)
@@ -138,6 +219,27 @@ class LiveView:
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if self.path.split("?")[0] != "/control":
+                    self.send_error(404)
+                    return
+                if view._controller is None:
+                    self.send_error(403, "no controller attached")
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    msg = json.loads(self.rfile.read(n).decode())
+                    cmd = msg.pop("command", None)
+                    reply = view._controller.handle(cmd, msg)
+                except (ValueError, UnicodeDecodeError) as e:
+                    reply = {"error": f"bad request: {e}"}
+                body = json.dumps(reply).encode()
+                self.send_response(200 if "error" not in reply else 400)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -152,8 +254,28 @@ class LiveView:
         return f"http://{host}:{port}/"
 
     # -- engine hooks --------------------------------------------------------
-    def attach(self, engine) -> None:
-        """Chain onto an engine's callbacks (keeps any existing ones)."""
+    def attach(self, engine, controller=None) -> None:
+        """Chain onto an engine's callbacks (keeps any existing ones).
+
+        ``controller``: a :class:`~octproz_tpu.control.ParamController`
+        enabling POST /control live re-tuning.  With ``volume_render`` the
+        engine grows a :class:`VolumeAssembler` (if it has none) and the
+        assembled stream is raycast into /volume.png periodically — the
+        reference's per-buffer volume-texture update + throttled redraw
+        (cuda_code.cu:914-941, glwindow3d.h:84)."""
+        if controller is not None:
+            self._controller = controller
+        elif self._controller is None and getattr(engine, "model", None) is not None:
+            from ..control import ParamController
+
+            self._controller = ParamController(engine.model, engine,
+                                               on_info=engine.on_info)
+        if self.volume_render:
+            if engine.assembler is None:
+                from ..io.volume import VolumeAssembler
+
+                engine.assembler = VolumeAssembler(engine.model.acq)
+            self._assembler = engine.assembler
         prev_p, prev_m = engine.on_processed, engine.on_metrics
 
         def on_processed(vol, nr):
@@ -202,12 +324,41 @@ class LiveView:
         bscan_png = paint(bscan, True)
         enface_png = paint(enface, False)
         ascan = [float(x) for x in bscan[bscan.shape[0] // 2]]
+
+        volume_png = None
+        if (self._assembler is not None
+                and now - self._last_volume_render >= self.volume_throttle_s):
+            self._last_volume_render = now
+            volume_png = self._render_assembled_volume()
+
         with self._lock:
             self._bscan_png, self._enface_png = bscan_png, enface_png
             self._ascan = ascan
             self.frames_rendered += 1
             self._stats.setdefault("buffers", 0)
             self._stats["buffers"] = self._stats.get("buffers", 0) + 1
+            if volume_png is not None:
+                self._volume_png = volume_png
+                self.volume_renders += 1
+                self._stats["volume_renders"] = self.volume_renders
+
+    def _render_assembled_volume(self) -> Optional[bytes]:
+        """Raycast the assembler's current (possibly partial) volume —
+        updateDisplayedVolume + 80 ms-throttled redraw analog
+        (cuda_code.cu:914-941, glwindow3d.cpp:316-323)."""
+        from .render import RenderMode, RenderParams, render_volume
+
+        try:
+            img = render_volume(
+                self._assembler.volume,
+                RenderParams(mode=RenderMode(self.volume_mode),
+                             step_length=0.02),
+                yaw=0.5, pitch=0.4,
+                out_shape=(self.volume_size, self.volume_size),
+                lut=self._lut)
+            return _encode_png(to_uint8(np.clip(img, 0.0, 1.0)))
+        except Exception:  # rendering must never kill the stream
+            return None
 
     def update_stats(self, stats) -> None:
         with self._lock:

@@ -182,3 +182,57 @@ def test_throughput_meter_window():
     assert out.ascans_per_s == pytest.approx(out.buffers_per_s * ACQ.ascans_per_buffer)
     assert out.volumes_per_s == pytest.approx(out.buffers_per_s / 2)
     assert meter.total_buffers == 10
+
+
+def test_record_post_background_flow():
+    """record-on-request background capture -> installed as the curve used
+    by postProcessBackgroundRemoval (cuda_code.cu:743-767, 1556-1568)."""
+    cfg = dataclasses.replace(CFG, post_background_removal=True,
+                              post_background_weight=1.0,
+                              post_background_offset=0.0)
+    model = FdOctModel(ACQ, cfg,
+                       resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 0.0, 0.0))
+    # background starts as zeros -> removal is a no-op clip
+    before = np.asarray(model.curves.post_background).copy()
+    assert np.all(before == 0.0)
+
+    outs = {}
+    src = SyntheticSource(ACQ, n_buffers=6)
+    eng = StreamingEngine(model, src, stream_to_host=True,
+                          on_processed=lambda b, nr: outs.setdefault(len(outs), b))
+    eng.record_post_background(2)
+    assert eng.run() == 6
+
+    bg = np.asarray(model.curves.post_background)
+    assert bg.shape == (ACQ.output_ascan_length,)
+    assert np.any(bg != 0.0)
+    # buffers after installation are background-subtracted: the SyntheticSource
+    # template is identical per line, so the corrected image collapses toward 0
+    late = outs[max(outs)]
+    assert float(np.median(late)) <= float(np.median(outs[0]))
+
+
+def test_record_post_background_validates():
+    eng = make_engine()
+    with pytest.raises(ValueError):
+        eng.record_post_background(0)
+
+
+def test_unfetched_buffers_still_throttle():
+    """With stream_to_host=False every in-flight entry must carry a device
+    probe so the host cannot run unboundedly ahead (the blocking-event
+    analog, cuda_code.cu:1416-1420)."""
+    eng = make_engine(n_buffers=8, stream_to_host=False, max_in_flight=2)
+    drained = []
+    orig = eng._drain_one
+
+    def spy(in_flight):
+        drained.append(tuple(in_flight[0]))
+        orig(in_flight)
+
+    eng._drain_one = spy
+    assert eng.run() == 8
+    assert drained, "nothing was drained"
+    for nr, dev, throttle in drained:
+        assert dev is None
+        assert throttle is not None  # the retained device scalar
