@@ -37,9 +37,20 @@ class FdOctModel:
         window_fill_factor: float = 1.0,
         custom_resample_curve: Optional[np.ndarray] = None,
         mesh=None,
+        preflight: bool = True,
     ):
         self.acq = acq
         self.cfg = cfg
+        if preflight:
+            # refuse clearly before compile when the config cannot fit in
+            # device memory (cuda_code.cu:975-1015 analog); skipped when the
+            # backend does not report memory (CPU)
+            import os as _os
+
+            if not _os.environ.get("OCTPROZ_TPU_NO_PREFLIGHT"):
+                from ..utils.memory import preflight_check
+
+                preflight_check(acq, cfg)
         self._curve_kwargs = dict(
             resample_coeffs=tuple(resample_coeffs),
             dispersion_coeffs=tuple(dispersion_coeffs),
