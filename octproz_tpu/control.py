@@ -55,6 +55,7 @@ class ParamController(Plugin):
         "set_klin_coeffs", "set_dispersion_coeffs", "set_window",
         "set_custom_resample_curve", "set_grayscale", "set_post_background",
         "redetermine_fpn", "record_post_background", "get_params", "stop",
+        "list_extensions", "activate_extension", "deactivate_extension",
     )
 
     def __init__(self, model, engine=None,
@@ -105,6 +106,23 @@ class ParamController(Plugin):
                 if self.engine is None:
                     return {"error": "no engine attached"}
                 self.engine.stop()
+            elif command in ("list_extensions", "activate_extension",
+                             "deactivate_extension"):
+                # headless ExtensionUIManager analog (src/extensionuimanager
+                # .cpp: activation toggles without the Qt tabs)
+                if self.engine is None:
+                    return {"error": "no engine attached"}
+                exts = self.engine.extensions.extensions
+                if command == "list_extensions":
+                    return {"reply": {n: e.active for n, e in exts.items()}}
+                name = params.get("name", "")
+                if name not in exts:
+                    return {"error": f"unknown extension {name!r}",
+                            "extensions": sorted(exts)}
+                if command == "activate_extension":
+                    exts[name].activate()
+                else:
+                    exts[name].deactivate()
             else:
                 return {"error": f"unknown command {command!r}",
                         "commands": list(self.COMMANDS)}

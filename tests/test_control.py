@@ -185,3 +185,27 @@ def test_live_volume_render_of_assembled_stream():
         assert stats.get("volume_renders", 0) >= 1
     finally:
         live.close()
+
+
+def test_extension_management_commands():
+    """Headless ExtensionUIManager analog: list / activate / deactivate."""
+    from octproz_tpu.plugins import Extension, ExtensionManager
+
+    class Dummy(Extension):
+        name = "dummy"
+
+    mgr = ExtensionManager()
+    ext = Dummy()
+    mgr.add(ext)
+    model = make_model()
+    eng = StreamingEngine(model, SyntheticSource(ACQ, n_buffers=1),
+                          extensions=mgr)
+    ctl = ParamController(model, eng)
+
+    assert ctl.handle("list_extensions", {}) == {"reply": {"dummy": False}}
+    assert ctl.handle("activate_extension", {"name": "dummy"}) == {"reply": "ok"}
+    assert ext.active
+    assert ctl.handle("deactivate_extension", {"name": "dummy"}) == {"reply": "ok"}
+    assert not ext.active
+    r = ctl.handle("activate_extension", {"name": "nope"})
+    assert "error" in r and r["extensions"] == ["dummy"]
