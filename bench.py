@@ -137,6 +137,8 @@ def _run(cfg, n_iters: int = 40, chunk: int = 1) -> float:
         # is already 80-300 s).
         raw_stack = jnp.stack(ring[:chunk]) if chunk <= len(ring) else \
             jnp.stack([ring[i % len(ring)] for i in range(chunk)])
+        del ring  # free the unstacked copies (the stack doubles raw HBM)
+        jax.block_until_ready(raw_stack)
 
         @jax.jit
         def run_chunk(raw_stack, used_vals, acc, state):
@@ -194,11 +196,56 @@ def _run(cfg, n_iters: int = 40, chunk: int = 1) -> float:
     return done * acq.ascans_per_buffer / elapsed / 1e6
 
 
+def _golden_psnr(cfg) -> float:
+    """Golden-pair PSNR of this config on THIS device vs the float64 oracle
+    output (tests/data/golden_pair_*): the hardware-measured fidelity of the
+    recorded configuration.  On the TPU MXU, float32 at default precision is
+    bf16-grade (~25 dB vs the oracle; matmul_precision="highest" restores
+    ~100 dB at ~6x the GEMM passes)."""
+    import json as _json
+    import os as _os
+
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from octproz_tpu import curves as curves_mod
+    from octproz_tpu import pipeline
+    from octproz_tpu.params import AcqParams, FpnMode, Interpolation, WindowType
+    from octproz_tpu.utils.fidelity import compare_volumes, load_volume
+
+    data = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "tests", "data")
+    with open(_os.path.join(data, "golden_pair.json")) as f:
+        meta = _json.load(f)
+    acq = AcqParams(samples_per_line=meta["samples"],
+                    ascans_per_bscan=meta["ascans"],
+                    bscans_per_buffer=meta["bscans"],
+                    bit_depth=meta["bit_depth"])
+    cfg = _dc.replace(cfg, interpolation=Interpolation(meta["interpolation"]),
+                      fpn_mode=FpnMode(meta["fpn_mode"]),
+                      bscans_for_noise=meta["bscans_for_noise"],
+                      grayscale_min=meta["grayscale_min"],
+                      grayscale_max=meta["grayscale_max"])
+    curves = curves_mod.make_curves(
+        acq, cfg, resample_coeffs=tuple(meta["resample_coeffs"]),
+        dispersion_coeffs=tuple(meta["dispersion_coeffs"]),
+        window_type=WindowType(meta["window_type"]))
+    raw = np.fromfile(_os.path.join(data, "golden_pair_input.raw"),
+                      np.uint16).reshape(acq.buffer_shape)
+    ref = load_volume(_os.path.join(data, "golden_pair_ref.raw"),
+                      tuple(meta["ref_shape"]))
+    step = pipeline.make_step(acq, cfg)
+    got, _ = step(jnp.asarray(raw), curves, pipeline.initial_fpn_state(acq))
+    return compare_volumes(np.asarray(got), ref).psnr_db
+
+
 def _attempt(spec: str) -> None:
     """One measurement attempt in THIS process; prints the JSON line.
 
-    ``spec`` is ``<fold_backend>[:<chunk>[:<compute_dtype>]]`` where chunk
-    is the number of per-buffer steps batched into one device dispatch.
+    ``spec`` is ``<fold_backend>[:<chunk>[:<compute_dtype>[:<precision>]]]``
+    where chunk is the number of per-buffer steps batched into one device
+    dispatch and precision is the MXU pass count for float32 GEMMs.
     """
     import os
 
@@ -215,7 +262,8 @@ def _attempt(spec: str) -> None:
     parts = spec.split(":")
     backend = parts[0]
     chunk = int(parts[1]) if len(parts) > 1 and parts[1] else 1
-    compute_dtype = parts[2] if len(parts) > 2 else "float32"
+    compute_dtype = parts[2] if len(parts) > 2 and parts[2] else "float32"
+    precision = parts[3] if len(parts) > 3 else "default"
 
     base = ProcConfig(
         bitshift=True,
@@ -226,10 +274,13 @@ def _attempt(spec: str) -> None:
         fft_via_matmul=True,
     )
     cfg = dataclasses.replace(base, fold_backend=backend,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype,
+                              matmul_precision=precision)
 
     # Reduced-precision attempts must PASS fidelity before they may be the
     # recorded headline number (VERDICT: fastest fidelity-passing config).
+    # On the TPU MXU, float32/default and bfloat16 are numerically identical
+    # (both one bf16 pass), so this gate measures real degradation only.
     psnr_db = None
     if compute_dtype != "float32":
         psnr_db = _psnr_vs_float32(cfg)
@@ -256,12 +307,19 @@ def _attempt(spec: str) -> None:
         "fold_backend": backend,
         "chunk": chunk,
         "compute_dtype": compute_dtype,
+        "matmul_precision": precision,
         "platform": jax.devices()[0].platform,
         "ms_per_buffer": round(1e3 / buffers_per_s, 3),
         "tflops": round(buffers_per_s * _fold_flops_per_buffer(acq) / 1e12, 2),
     }
     if psnr_db is not None:
         record["psnr_vs_float32_db"] = round(psnr_db, 1)
+    try:
+        # hardware-measured fidelity of the recorded config vs the float64
+        # oracle golden pair (transparency; never blocks the record)
+        record["golden_psnr_db"] = round(_golden_psnr(cfg), 1)
+    except Exception:
+        record["golden_psnr_db"] = None
     print(json.dumps(record))
 
 
@@ -284,9 +342,13 @@ def main() -> None:
 
     force_cpu = bool(os.environ.get("OCTPROZ_BENCH_FORCE_CPU"))
     # fastest-first; reduced-precision attempts self-gate on PSNR vs the
-    # float32 fold and fall through to the next spec if they fail
-    attempts = (["pallas:8:bfloat16", "pallas:8", "xla:8:bfloat16", "xla:8",
-                 "pallas", "xla"] if not force_cpu else ["xla"])
+    # float32 fold and fall through to the next spec if they fail.  On the
+    # TPU MXU bfloat16 operands are numerically IDENTICAL to default-
+    # precision float32 (both one bf16 pass) at a fraction of the passes
+    # and half the operand bandwidth — it is the honest fastest config.
+    attempts = (["pallas:16:bfloat16", "pallas:8:bfloat16", "pallas:8",
+                 "xla:8:bfloat16", "xla:8", "pallas", "xla"]
+                if not force_cpu else ["xla"])
     # Final honest fallback: a clearly-labeled CPU measurement beats no
     # record when the accelerator is down.
     plans = [(b, dict(os.environ, OCTPROZ_BENCH_ATTEMPT=b)) for b in attempts]

@@ -89,6 +89,9 @@ def _add_proc_args(p: argparse.ArgumentParser) -> None:
                         "complex GEMM (fastest on TPU)")
     g.add_argument("--settings", default=None,
                    help="INI settings file; CLI flags override its values")
+    g.add_argument("--mesh", default=None, metavar="B[,A]",
+                   help="shard the step over a (bscan, ascan) device mesh, "
+                        "e.g. --mesh 4 or --mesh 4,2 (parallel/sharding.py)")
 
 
 def _build_config(args):
@@ -131,6 +134,13 @@ def _build_config(args):
 
         model_kw["custom_resample_curve"] = load_curve_csv(
             args.klin_curve_csv, expected_size=args.samples)
+    if getattr(args, "mesh", None):
+        from .parallel import make_mesh
+
+        dims = [int(x) for x in args.mesh.split(",")]
+        if len(dims) == 1:
+            dims.append(1)
+        model_kw["mesh"] = make_mesh(dims[0], dims[1])
     return acq, cfg, model_kw
 
 

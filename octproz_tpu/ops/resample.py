@@ -113,12 +113,20 @@ def build_resample_matrix(curve: np.ndarray, mode: Interpolation, n_in: int | No
 
 
 def apply_matmul(x: jnp.ndarray, resample_matrix: jnp.ndarray,
-                 compute_dtype=jnp.float32) -> jnp.ndarray:
-    """Resample spectra on the MXU: x (..., n_in) @ R.T -> (..., n_out)."""
+                 compute_dtype=jnp.float32,
+                 precision: str = "default") -> jnp.ndarray:
+    """Resample spectra on the MXU: x (..., n_in) @ R.T -> (..., n_out).
+
+    ``precision``: MXU pass count for float32 (the MXU multiplies in
+    bfloat16; "highest" restores true-float32 accuracy at ~6x the passes).
+    """
+    from ..pallas.fused_prep import _precision
+
     return jnp.matmul(
         x.astype(compute_dtype),
         resample_matrix.T.astype(compute_dtype),
         preferred_element_type=jnp.float32,
+        precision=_precision(precision),
     ).astype(jnp.float32)
 
 

@@ -45,6 +45,15 @@ from ..ops.background import rolling_average_indices
 from ..params import AcqParams, ProcConfig
 
 
+def _precision(name: str):
+    """MXU pass count for float32 GEMMs (see ProcConfig.matmul_precision):
+    the MXU multiplies in bfloat16, so "default" float32 is bf16-grade;
+    "highest" emulates true float32 with 6 passes."""
+    return {"default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST}[name]
+
+
 def build_prep_operator(
     acq: AcqParams,
     cfg: ProcConfig,
@@ -142,29 +151,34 @@ def _predecode(raw2d, bit_depth: int, bitshift: bool):
 
 
 def _kernel_phase(raw_ref, op_ref, cos_ref, sin_ref, re_ref, im_ref,
-                  *, bit_depth: int, bitshift: bool):
+                  *, bit_depth: int, bitshift: bool, precision):
     x = _decode_block(raw_ref[:], bit_depth, bitshift)
-    y = jnp.dot(x, op_ref[:], preferred_element_type=jnp.float32)
+    y = jnp.dot(x, op_ref[:], preferred_element_type=jnp.float32,
+                precision=precision)
     re_ref[:] = y * cos_ref[:]
     im_ref[:] = y * sin_ref[:]
 
 
-def _kernel_real(raw_ref, op_ref, out_ref, *, bit_depth: int, bitshift: bool):
+def _kernel_real(raw_ref, op_ref, out_ref, *, bit_depth: int, bitshift: bool,
+                 precision):
     x = _decode_block(raw_ref[:], bit_depth, bitshift)
-    out_ref[:] = jnp.dot(x, op_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.dot(x, op_ref[:], preferred_element_type=jnp.float32,
+                         precision=precision)
 
 
 def _kernel_depth(raw_ref, wre_ref, wim_ref, re_ref, im_ref,
-                  *, bit_depth: int, bitshift: bool, compute_dtype):
+                  *, bit_depth: int, bitshift: bool, compute_dtype, precision):
     """Decode + full-fold depth operator: two GEMMs, nothing else."""
     x = _decode_block(raw_ref[:], bit_depth, bitshift).astype(compute_dtype)
-    re_ref[:] = jnp.dot(x, wre_ref[:], preferred_element_type=jnp.float32)
-    im_ref[:] = jnp.dot(x, wim_ref[:], preferred_element_type=jnp.float32)
+    re_ref[:] = jnp.dot(x, wre_ref[:], preferred_element_type=jnp.float32,
+                        precision=precision)
+    im_ref[:] = jnp.dot(x, wim_ref[:], preferred_element_type=jnp.float32,
+                        precision=precision)
 
 
 def _kernel_depth_scale(raw_ref, wre_ref, wim_ref, mean_ref, out_ref,
                         *, bit_depth: int, bitshift: bool, compute_dtype,
-                        log_scaling: bool, half: int, gmin: float,
+                        precision, log_scaling: bool, half: int, gmin: float,
                         gmax: float, addend: float, coeff: float):
     """Decode + full-fold depth operator + FPN mean-line subtraction +
     dynamic-range scaling, all in one VMEM pass.
@@ -175,8 +189,10 @@ def _kernel_depth_scale(raw_ref, wre_ref, wim_ref, mean_ref, out_ref,
     VMEM and only the final magnitude image is written -- per buffer that
     removes a write+read of both full planar volumes."""
     x = _decode_block(raw_ref[:], bit_depth, bitshift).astype(compute_dtype)
-    re = jnp.dot(x, wre_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(x, wim_ref[:], preferred_element_type=jnp.float32)
+    re = jnp.dot(x, wre_ref[:], preferred_element_type=jnp.float32,
+                 precision=precision)
+    im = jnp.dot(x, wim_ref[:], preferred_element_type=jnp.float32,
+                 precision=precision)
     re = re - mean_ref[0:1, :]
     im = im - mean_ref[1:2, :]
     p = re * re + im * im
@@ -197,9 +213,10 @@ def _pick_tile(n_lines: int) -> int:
     return n_lines
 
 
-@functools.partial(jax.jit, static_argnames=("bit_depth", "bitshift", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bit_depth", "bitshift",
+                                              "precision", "interpret"))
 def _fused_prep_impl(raw2d, op, cos_row, sin_row, *, bit_depth: int,
-                     bitshift: bool, interpret: bool):
+                     bitshift: bool, precision: str, interpret: bool):
     n_lines, n_in = raw2d.shape
     n_out = op.shape[1]
     tile = _pick_tile(n_lines)
@@ -220,7 +237,8 @@ def _fused_prep_impl(raw2d, op, cos_row, sin_row, *, bit_depth: int,
         row_spec = pl.BlockSpec((1, n_out), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
         kernel = functools.partial(_kernel_phase, bit_depth=bit_depth,
-                                   bitshift=bitshift)
+                                   bitshift=bitshift,
+                                   precision=_precision(precision))
         re, im = pl.pallas_call(
             kernel,
             grid=grid,
@@ -235,7 +253,8 @@ def _fused_prep_impl(raw2d, op, cos_row, sin_row, *, bit_depth: int,
         )(raw2d, op, cos_row, sin_row)
         return jax.lax.complex(re, im)
     kernel = functools.partial(_kernel_real, bit_depth=bit_depth,
-                               bitshift=bitshift)
+                               bitshift=bitshift,
+                               precision=_precision(precision))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -248,9 +267,10 @@ def _fused_prep_impl(raw2d, op, cos_row, sin_row, *, bit_depth: int,
 
 
 @functools.partial(jax.jit, static_argnames=("bit_depth", "bitshift",
-                                              "compute_dtype", "interpret"))
+                                              "compute_dtype", "precision",
+                                              "interpret"))
 def _fused_depth_impl(raw2d, w_re, w_im, *, bit_depth: int, bitshift: bool,
-                      compute_dtype: str, interpret: bool):
+                      compute_dtype: str, precision: str, interpret: bool):
     n_lines, n_in = raw2d.shape
     half = w_re.shape[1]
     tile = _pick_tile(n_lines)
@@ -265,7 +285,8 @@ def _fused_depth_impl(raw2d, w_re, w_im, *, bit_depth: int, bitshift: bool,
     out_spec = pl.BlockSpec((tile, half), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(_kernel_depth, bit_depth=bit_depth,
-                               bitshift=bitshift, compute_dtype=cdt)
+                               bitshift=bitshift, compute_dtype=cdt,
+                               precision=_precision(precision))
     re, im = pl.pallas_call(
         kernel,
         grid=grid,
@@ -287,12 +308,13 @@ def _fused_depth_impl(raw2d, w_re, w_im, *, bit_depth: int, bitshift: bool,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "bit_depth", "bitshift", "compute_dtype", "log_scaling", "gmin", "gmax",
-    "addend", "coeff", "interpret"))
+    "bit_depth", "bitshift", "compute_dtype", "precision", "log_scaling",
+    "gmin", "gmax", "addend", "coeff", "interpret"))
 def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
                             bitshift: bool, compute_dtype: str,
-                            log_scaling: bool, gmin: float, gmax: float,
-                            addend: float, coeff: float, interpret: bool):
+                            precision: str, log_scaling: bool, gmin: float,
+                            gmax: float, addend: float, coeff: float,
+                            interpret: bool):
     n_lines, n_in = raw2d.shape
     half = w_re.shape[1]
     tile = _pick_tile(n_lines)
@@ -310,7 +332,8 @@ def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(
         _kernel_depth_scale, bit_depth=bit_depth, bitshift=bitshift,
-        compute_dtype=cdt, log_scaling=log_scaling, half=half, gmin=gmin,
+        compute_dtype=cdt, precision=_precision(precision),
+        log_scaling=log_scaling, half=half, gmin=gmin,
         gmax=gmax, addend=addend, coeff=coeff)
     return pl.pallas_call(
         kernel,
@@ -355,7 +378,8 @@ def fused_depth_scale(
     mag = _fused_depth_scale_impl(
         raw2d, depth_op_re, depth_op_im, mean2,
         bit_depth=acq.bit_depth, bitshift=cfg.bitshift,
-        compute_dtype=cfg.compute_dtype, log_scaling=cfg.log_scaling,
+        compute_dtype=cfg.compute_dtype, precision=cfg.matmul_precision,
+        log_scaling=cfg.log_scaling,
         gmin=cfg.grayscale_min, gmax=cfg.grayscale_max, addend=cfg.addend,
         coeff=cfg.multiplicator, interpret=interpret)
     return mag.reshape(*lead_shape, mag.shape[-1])
@@ -392,12 +416,16 @@ def fused_depth_transform(
             x = x.astype(jnp.bfloat16)
             depth_op_re = depth_op_re.astype(jnp.bfloat16)
             depth_op_im = depth_op_im.astype(jnp.bfloat16)
-        re = jnp.matmul(x, depth_op_re, preferred_element_type=jnp.float32)
-        im = jnp.matmul(x, depth_op_im, preferred_element_type=jnp.float32)
+        prec = _precision(cfg.matmul_precision)
+        re = jnp.matmul(x, depth_op_re, preferred_element_type=jnp.float32,
+                        precision=prec)
+        im = jnp.matmul(x, depth_op_im, preferred_element_type=jnp.float32,
+                        precision=prec)
     else:
         re, im = _fused_depth_impl(raw2d, depth_op_re, depth_op_im,
                                    bit_depth=acq.bit_depth, bitshift=cfg.bitshift,
                                    compute_dtype=cfg.compute_dtype,
+                                   precision=cfg.matmul_precision,
                                    interpret=interpret)
     half = re.shape[-1]
     return re.reshape(*lead_shape, half), im.reshape(*lead_shape, half)
@@ -433,5 +461,6 @@ def fused_prep(
         cos_row = sin_row = None
     out = _fused_prep_impl(raw2d, prep_operator, cos_row, sin_row,
                            bit_depth=acq.bit_depth, bitshift=cfg.bitshift,
+                           precision=cfg.matmul_precision,
                            interpret=interpret)
     return out.reshape(*lead_shape, out.shape[-1])

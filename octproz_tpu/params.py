@@ -194,6 +194,13 @@ class ProcConfig:
     # Compute dtype of the spectral prep chain. float32 matches reference
     # numerics; bfloat16 trades PSNR for speed.
     compute_dtype: str = "float32"
+    # MXU precision for float32 GEMMs: "default" (one bf16 pass, fastest),
+    # "high" (3 passes), "highest" (6 passes, true-f32 accuracy).  The TPU
+    # MXU multiplies in bfloat16; "default" float32 is therefore bf16-grade
+    # accuracy (measured ~25 dB golden PSNR vs the float64 oracle on v5e),
+    # while "highest" restores the reference's fast-math-float32 fidelity.
+    # Ignored when compute_dtype="bfloat16".
+    matmul_precision: str = "default"
     # Run stages 1-3 as the single fused Pallas kernel (decode + folded
     # background/resample/window operator GEMM + phasor epilogue); the analog
     # of the reference's triple-fused kernels (cuda_code.cu:413-489).

@@ -61,7 +61,8 @@ def prep_spectra(raw: jnp.ndarray, curves: Curves, acq: AcqParams,
     if cfg.resampling:
         if cfg.resample_via_matmul:
             compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-            x = resample.apply_matmul(x, curves.resample_matrix, compute_dtype)
+            x = resample.apply_matmul(x, curves.resample_matrix, compute_dtype,
+                                      precision=cfg.matmul_precision)
         else:
             x = resample.apply_gather(x, curves.resample_curve, cfg.interpolation)
 

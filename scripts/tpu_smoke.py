@@ -116,24 +116,79 @@ def _attempt() -> None:
                              cfg_pl.addend, cfg_pl.multiplicator)
     check("depth_scale", mag_p, mag_x)
 
-    # --- stages-1-3 prep kernel vs the unfused op chain -------------------
+    # --- stages-1-3 prep kernel: Mosaic GEMM vs XLA GEMM, SAME operator ----
+    # Real path only (no dispersion phasor): this backend has no complex64
+    # at all (CLAUDE.md), and the phasor variant's complex output feeds the
+    # jnp.fft pipeline that is equally unavailable here — the production TPU
+    # path is the full-fold planar kernels checked above.  The real path
+    # still compiles the Mosaic prep kernel (_kernel_real).  The reference
+    # computation applies the IDENTICAL folded operator through plain XLA:
+    # the smoke test isolates Mosaic-vs-XLA (what a Mosaic regression would
+    # break), not operator-grouping rounding (which differs at the MXU's
+    # default-precision granularity and is covered by the golden PSNR below).
     cfg_prep = dataclasses.replace(base, fft_via_matmul=False,
-                                   use_pallas_prep=True)
+                                   dispersion=False, use_pallas_prep=True)
     curves_prep = curves_mod.make_curves(
         acq, cfg_prep,
         resample_coeffs=(0.0, float(acq.samples_per_line - 1), 20.0, -10.0),
-        dispersion_coeffs=(0.0, 0.0, 10.0, 0.0),
         window_type=WindowType.HANNING)
     t0 = time.perf_counter()
-    spec_p = fused_prep(raw, curves_prep.prep_operator, curves_prep.phase,
+    spec_p = fused_prep(raw, curves_prep.prep_operator, None,
                         acq, cfg_prep, interpret=False)
     jax.block_until_ready(spec_p)
     timings["prep_compile_s"] = round(time.perf_counter() - t0, 1)
+    from octproz_tpu.ops.convert import decode
+
+    x = decode(raw.reshape(-1, acq.samples_per_line), acq.bit_depth,
+               cfg_prep.bitshift)
+    spec_x = jnp.matmul(x, curves_prep.prep_operator,
+                        preferred_element_type=jnp.float32
+                        ).reshape(spec_p.shape)
+    check("prep", spec_p, spec_x)
+
+    # --- golden-pair fidelity ON THE CHIP ----------------------------------
+    # The CI golden test runs on CPU; this measures the REAL hardware's PSNR
+    # vs the float64 oracle (quantifying the MXU default-precision trade the
+    # same way the reference's fast-math trade shows up on real GPUs).
+    import json as _json
+
     from octproz_tpu import pipeline as _pipeline
-    cfg_unfused = dataclasses.replace(cfg_prep, use_pallas_prep=False)
-    spec_x = _pipeline.prep_spectra(raw, curves_prep, acq, cfg_unfused)
-    check("prep_re", jnp.real(spec_p), jnp.real(spec_x))
-    check("prep_im", jnp.imag(spec_p), jnp.imag(spec_x))
+    from octproz_tpu.utils.fidelity import compare_volumes, load_volume
+
+    data_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "data")
+    with open(os.path.join(data_dir, "golden_pair.json")) as f:
+        meta = _json.load(f)
+    g_acq = AcqParams(samples_per_line=meta["samples"],
+                      ascans_per_bscan=meta["ascans"],
+                      bscans_per_buffer=meta["bscans"],
+                      bit_depth=meta["bit_depth"])
+    g_cfg = ProcConfig(
+        bitshift=meta["bitshift"], resampling=True,
+        interpolation=Interpolation(meta["interpolation"]),
+        windowing=True, dispersion=True,
+        fpn_mode=FpnMode(meta["fpn_mode"]),
+        bscans_for_noise=meta["bscans_for_noise"],
+        log_scaling=meta["log_scaling"],
+        grayscale_min=meta["grayscale_min"],
+        grayscale_max=meta["grayscale_max"],
+        fft_via_matmul=True, fold_backend="pallas")
+    g_curves = curves_mod.make_curves(
+        g_acq, g_cfg, resample_coeffs=tuple(meta["resample_coeffs"]),
+        dispersion_coeffs=tuple(meta["dispersion_coeffs"]),
+        window_type=WindowType(meta["window_type"]))
+    g_raw = np.fromfile(os.path.join(data_dir, "golden_pair_input.raw"),
+                        np.uint16).reshape(g_acq.buffer_shape)
+    ref = load_volume(os.path.join(data_dir, "golden_pair_ref.raw"),
+                      tuple(meta["ref_shape"]))
+    g_step = _pipeline.make_step(g_acq, g_cfg)
+    got, _ = g_step(jnp.asarray(g_raw), g_curves,
+                    _pipeline.initial_fpn_state(g_acq))
+    res = compare_volumes(np.asarray(got), ref)
+    timings["golden_psnr_db"] = round(res.psnr_db, 1)
+    timings["golden_ssim"] = round(res.mean_ssim, 4)
+    if res.psnr_db < 30.0:
+        raise AssertionError(f"golden PSNR {res.psnr_db:.1f} dB < 30 on TPU")
 
     print(json.dumps(dict({"tpu_pallas_smoke": "pass",
                            "tolerance": TOL}, **timings)))
@@ -168,8 +223,14 @@ def main() -> None:
     if rc == 0 and stdout.strip():
         line = stdout.strip().splitlines()[-1]
     else:
-        tail = " ".join((stderr or "").strip().splitlines()[-1:])[:200]
-        line = json.dumps({"tpu_pallas_smoke": "fail", "error": tail})
+        # surface the actual exception line, not JAX's traceback notice
+        lines = (stderr or "").strip().splitlines()
+        err = next((l.strip() for l in reversed(lines)
+                    if ("Error" in l or "Exception" in l or "error:" in l)
+                    and "JAX_TRACEBACK_FILTERING" not in l
+                    and "traceback" not in l.lower()),
+                   " ".join(lines[-1:]))
+        line = json.dumps({"tpu_pallas_smoke": "fail", "error": err[:300]})
     print(line)
     if args.out:
         with open(args.out, "w") as f:

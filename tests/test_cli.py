@@ -91,3 +91,23 @@ def test_bad_reshape_clean_error(tmp_path, capsys):
 def test_info_runs(capsys):
     assert main(["info"]) == 0
     assert "octproz_tpu" in capsys.readouterr().out
+
+
+def test_process_with_mesh(tmp_path, capsys):
+    """--mesh B,A shards the process command over the virtual device mesh."""
+    import numpy as np
+
+    from octproz_tpu.cli import main
+
+    acq_shape = (4, 8, 64)
+    raw = np.random.default_rng(0).integers(
+        0, 4095, size=acq_shape).astype(np.uint16)
+    inp = tmp_path / "in.raw"
+    raw.tofile(inp)
+    out = tmp_path / "out.raw"
+    rc = main(["process", str(inp), "--samples", "64", "--ascans", "8",
+               "--bscans", "4", "--no-dispersion", "--mesh", "4,2",
+               "--output", str(out)])
+    assert rc == 0
+    vol = np.fromfile(out, np.float32)
+    assert vol.size == 4 * 8 * 32

@@ -221,3 +221,24 @@ def test_fused_scale_epilogue_fpn_off(rng):
     b, _ = pipeline.process_buffer(raw, curves, state, ACQ, unfused)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
                                rtol=1e-5)
+
+
+@pytest.mark.parametrize("precision", ["default", "high", "highest"])
+def test_matmul_precision_knob_plumbs_through(rng, precision):
+    """matmul_precision traces through every GEMM path (on CPU all
+    precisions are exact, so outputs must match the default exactly)."""
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.CUBIC,
+                     windowing=True, dispersion=True, fpn_mode=FpnMode.OFF,
+                     log_scaling=True, fft_via_matmul=True,
+                     matmul_precision=precision)
+    curves = curves_mod.make_curves(
+        ACQ, cfg, resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 10.0, -4.0),
+        dispersion_coeffs=(0.0, 0.0, 8.0, 0.0))
+    raw = jnp.asarray(_raw(rng))
+    state = pipeline.initial_fpn_state(ACQ)
+    out, _ = pipeline.process_buffer(raw, curves, state, ACQ, cfg)
+    base = ProcConfig(**{**dataclasses.asdict(cfg), "matmul_precision": "default",
+                         "interpolation": cfg.interpolation,
+                         "fpn_mode": cfg.fpn_mode})
+    want, _ = pipeline.process_buffer(raw, curves, state, ACQ, base)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
