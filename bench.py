@@ -140,6 +140,20 @@ def _run(cfg, n_iters: int = 40, chunk: int = 1) -> float:
         del ring  # free the unstacked copies (the stack doubles raw HBM)
         jax.block_until_ready(raw_stack)
 
+        if cfg.fold_backend == "pallas":
+            # pallas_call is opaque to XLA: consuming ONE element keeps the
+            # whole kernel alive, so the accumulator does not need to re-read
+            # the full 268 MB output volume from HBM every buffer (which
+            # would bill an extra memory pass to the measurement)
+            def consume(out):
+                return out[0, 0, 5]
+        else:
+            # plain-XLA fold: a sliced output could let XLA narrow the GEMM
+            # itself, so consume every element (clamp keeps acc finite if
+            # any voxel hit log10(0) == -inf)
+            def consume(out):
+                return jnp.sum(jnp.maximum(out, -1e4))
+
         @jax.jit
         def run_chunk(raw_stack, used_vals, acc, state):
             cv = Curves(**dict(zip(used, used_vals)))
@@ -148,9 +162,7 @@ def _run(cfg, n_iters: int = 40, chunk: int = 1) -> float:
                 acc, st = carry
                 out, st = pipeline.process_buffer(raw, cv, st, acq=acq,
                                                   cfg=cfg)
-                # clamp keeps acc finite if any voxel hit log10(0) == -inf;
-                # every element is still consumed (nothing can be DCE'd)
-                return (acc + jnp.sum(jnp.maximum(out, -1e4)), st), None
+                return (acc + consume(out), st), None
 
             (acc, state), _ = jax.lax.scan(body, (acc, state), raw_stack)
             return acc, state

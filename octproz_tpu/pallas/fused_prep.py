@@ -207,8 +207,14 @@ def _kernel_depth_scale(raw_ref, wre_ref, wim_ref, mean_ref, out_ref,
 
 
 def _pick_tile(n_lines: int) -> int:
-    for tile in (256, 128, 64, 32, 16, 8):
-        if n_lines % tile == 0:
+    """Lines per kernel tile.  Default max 256 keeps (tile, n_in) + outputs
+    comfortably in VMEM at 1024-sample lines; OCTPROZ_PALLAS_TILE raises or
+    lowers the cap for tuning (bench sweeps it)."""
+    import os
+
+    max_tile = int(os.environ.get("OCTPROZ_PALLAS_TILE", "256"))
+    for tile in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if tile <= max_tile and n_lines % tile == 0:
             return tile
     return n_lines
 
