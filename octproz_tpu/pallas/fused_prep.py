@@ -176,6 +176,29 @@ def _kernel_depth(raw_ref, wre_ref, wim_ref, re_ref, im_ref,
                         precision=precision)
 
 
+def _kernel_depth_scale_concat(raw_ref, w_ref, mean_ref, out_ref,
+                               *, bit_depth: int, bitshift: bool,
+                               compute_dtype, precision, log_scaling: bool,
+                               half: int, gmin: float, gmax: float,
+                               addend: float, coeff: float):
+    """Single-GEMM variant: the (re | im) operators are concatenated along
+    the output axis so the MXU runs ONE (tile, n_in) x (n_in, 2*half) pass
+    per tile instead of two half-width ones."""
+    x = _decode_block(raw_ref[:], bit_depth, bitshift).astype(compute_dtype)
+    y = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32,
+                precision=precision)
+    re = y[:, :half] - mean_ref[0:1, :]
+    im = y[:, half:] - mean_ref[1:2, :]
+    p = re * re + im * im
+    if log_scaling:
+        v = 10.0 * jnp.log10(p / jnp.float32(half))
+    else:
+        v = jnp.sqrt(p) / jnp.float32(half)
+    out_ref[:] = jnp.float32(coeff) * (
+        (v - jnp.float32(gmin)) / jnp.float32(gmax - gmin)
+        + jnp.float32(addend))
+
+
 def _kernel_depth_scale(raw_ref, wre_ref, wim_ref, mean_ref, out_ref,
                         *, bit_depth: int, bitshift: bool, compute_dtype,
                         precision, log_scaling: bool, half: int, gmin: float,
@@ -336,6 +359,34 @@ def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
                              memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tile, half), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=4 * n_lines * n_in * half,
+        bytes_accessed=raw2d.size * raw2d.dtype.itemsize
+        + 2 * w_re.size * w_re.dtype.itemsize + n_lines * half * 4,
+        transcendentals=n_lines * half if log_scaling else 0,
+    )
+    import os
+
+    if os.environ.get("OCTPROZ_FOLD_CONCAT"):
+        # single-GEMM variant: one (n_in, 2*half) operator pass per tile
+        w = jnp.concatenate([w_re, w_im], axis=1)
+        kernel = functools.partial(
+            _kernel_depth_scale_concat, bit_depth=bit_depth,
+            bitshift=bitshift, compute_dtype=cdt,
+            precision=_precision(precision), log_scaling=log_scaling,
+            half=half, gmin=gmin, gmax=gmax, addend=addend, coeff=coeff)
+        wide_spec = pl.BlockSpec((n_in, 2 * half), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[line_spec, wide_spec, mean_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((n_lines, half), jnp.float32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(raw2d, w, mean2)
+
     kernel = functools.partial(
         _kernel_depth_scale, bit_depth=bit_depth, bitshift=bitshift,
         compute_dtype=cdt, precision=_precision(precision),
@@ -347,12 +398,7 @@ def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
         in_specs=[line_spec, op_spec, op_spec, mean_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n_lines, half), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * n_lines * n_in * half,
-            bytes_accessed=raw2d.size * raw2d.dtype.itemsize
-            + 2 * w_re.size * w_re.dtype.itemsize + n_lines * half * 4,
-            transcendentals=n_lines * half if log_scaling else 0,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
     )(raw2d, w_re, w_im, mean2)
 
