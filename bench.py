@@ -171,14 +171,24 @@ def _run(cfg, n_iters: int = 40, chunk: int = 1) -> float:
         acc, state = run_chunk(raw_stack, used_vals, acc, state)  # warmup
         float(np.asarray(acc))  # raises if the backend cannot execute
 
+        # Pipelined dispatch: enqueue chunk i while fetching chunk i-1's
+        # scalar, so the device never idles for a host round-trip between
+        # chunks (the tunnel RTT would otherwise bill ~RTT/chunk ms per
+        # buffer).  This mirrors the streaming runtime's bounded in-flight
+        # window (runtime.py max_in_flight); the final fetch is inside the
+        # timed region so all dispatched work is complete at t_end.
         done = 0
+        pending = None
         t0 = time.perf_counter()
         while done < n_iters:
             acc, state = run_chunk(raw_stack, used_vals, acc, state)
             done += chunk
-            float(np.asarray(acc))  # sync point inside the timed region
+            if pending is not None:
+                float(np.asarray(pending))  # sync chunk i-1; chunk i queued
+            pending = acc
             if time.perf_counter() - t0 > 60.0:
                 break
+        float(np.asarray(pending))
         elapsed = time.perf_counter() - t0
         return done * acq.ascans_per_buffer / elapsed / 1e6
 
