@@ -66,7 +66,8 @@ def _psnr_vs_float32(cfg) -> float:
     raw = gen(jax.random.PRNGKey(7))
     outs = {}
     for name, c in (("got", cfg),
-                    ("ref", _dc.replace(cfg, compute_dtype="float32"))):
+                    ("ref", _dc.replace(cfg, compute_dtype="float32",
+                                        output_dtype="float32"))):
         curves = curves_mod.make_curves(
             acq, c,
             resample_coeffs=(0.0, float(acq.samples_per_line - 1), 20.0, -10.0),
@@ -265,9 +266,11 @@ def _golden_psnr(cfg) -> float:
 def _attempt(spec: str) -> None:
     """One measurement attempt in THIS process; prints the JSON line.
 
-    ``spec`` is ``<fold_backend>[:<chunk>[:<compute_dtype>[:<precision>]]]``
+    ``spec`` is
+    ``<fold_backend>[:<chunk>[:<compute_dtype>[:<precision>[:<output_dtype>]]]]``
     where chunk is the number of per-buffer steps batched into one device
-    dispatch and precision is the MXU pass count for float32 GEMMs.
+    dispatch, precision is the MXU pass count for float32 GEMMs, and
+    output_dtype narrows the stored magnitude volume (e.g. ``bfloat16``).
     """
     import os
 
@@ -285,7 +288,8 @@ def _attempt(spec: str) -> None:
     backend = parts[0]
     chunk = int(parts[1]) if len(parts) > 1 and parts[1] else 1
     compute_dtype = parts[2] if len(parts) > 2 and parts[2] else "float32"
-    precision = parts[3] if len(parts) > 3 else "default"
+    precision = parts[3] if len(parts) > 3 and parts[3] else "default"
+    output_dtype = parts[4] if len(parts) > 4 and parts[4] else "float32"
 
     base = ProcConfig(
         bitshift=True,
@@ -297,14 +301,15 @@ def _attempt(spec: str) -> None:
     )
     cfg = dataclasses.replace(base, fold_backend=backend,
                               compute_dtype=compute_dtype,
-                              matmul_precision=precision)
+                              matmul_precision=precision,
+                              output_dtype=output_dtype)
 
     # Reduced-precision attempts must PASS fidelity before they may be the
     # recorded headline number (VERDICT: fastest fidelity-passing config).
     # On the TPU MXU, float32/default and bfloat16 are numerically identical
     # (both one bf16 pass), so this gate measures real degradation only.
     psnr_db = None
-    if compute_dtype != "float32":
+    if compute_dtype != "float32" or output_dtype != "float32":
         psnr_db = _psnr_vs_float32(cfg)
         if psnr_db < 30.0:
             raise SystemExit(
@@ -330,6 +335,7 @@ def _attempt(spec: str) -> None:
         "chunk": chunk,
         "compute_dtype": compute_dtype,
         "matmul_precision": precision,
+        "output_dtype": output_dtype,
         "platform": jax.devices()[0].platform,
         "ms_per_buffer": round(1e3 / buffers_per_s, 3),
         "tflops": round(buffers_per_s * _fold_flops_per_buffer(acq) / 1e12, 2),

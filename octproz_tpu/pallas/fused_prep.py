@@ -194,9 +194,10 @@ def _kernel_depth_scale_concat(raw_ref, w_ref, mean_ref, out_ref,
         v = 10.0 * jnp.log10(p / jnp.float32(half))
     else:
         v = jnp.sqrt(p) / jnp.float32(half)
-    out_ref[:] = jnp.float32(coeff) * (
+    out = jnp.float32(coeff) * (
         (v - jnp.float32(gmin)) / jnp.float32(gmax - gmin)
         + jnp.float32(addend))
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _kernel_depth_scale(raw_ref, wre_ref, wim_ref, mean_ref, out_ref,
@@ -224,9 +225,10 @@ def _kernel_depth_scale(raw_ref, wre_ref, wim_ref, mean_ref, out_ref,
     else:
         v = jnp.sqrt(p) / jnp.float32(half)
     # identical expression to ops.postprocess.scale_{log,lin}_planar
-    out_ref[:] = jnp.float32(coeff) * (
+    out = jnp.float32(coeff) * (
         (v - jnp.float32(gmin)) / jnp.float32(gmax - gmin)
         + jnp.float32(addend))
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _pick_tile(n_lines: int) -> int:
@@ -338,16 +340,17 @@ def _fused_depth_impl(raw2d, w_re, w_im, *, bit_depth: int, bitshift: bool,
 
 @functools.partial(jax.jit, static_argnames=(
     "bit_depth", "bitshift", "compute_dtype", "precision", "log_scaling",
-    "gmin", "gmax", "addend", "coeff", "interpret"))
+    "gmin", "gmax", "addend", "coeff", "output_dtype", "interpret"))
 def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
                             bitshift: bool, compute_dtype: str,
                             precision: str, log_scaling: bool, gmin: float,
                             gmax: float, addend: float, coeff: float,
-                            interpret: bool):
+                            output_dtype: str, interpret: bool):
     n_lines, n_in = raw2d.shape
     half = w_re.shape[1]
     tile = _pick_tile(n_lines)
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    odt = jnp.bfloat16 if output_dtype == "bfloat16" else jnp.float32
     if compute_dtype == "bfloat16":
         w_re, w_im = w_re.astype(jnp.bfloat16), w_im.astype(jnp.bfloat16)
     grid = (n_lines // tile,)
@@ -362,7 +365,8 @@ def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
     cost = pl.CostEstimate(
         flops=4 * n_lines * n_in * half,
         bytes_accessed=raw2d.size * raw2d.dtype.itemsize
-        + 2 * w_re.size * w_re.dtype.itemsize + n_lines * half * 4,
+        + 2 * w_re.size * w_re.dtype.itemsize
+        + n_lines * half * jnp.dtype(odt).itemsize,
         transcendentals=n_lines * half if log_scaling else 0,
     )
     import os
@@ -382,7 +386,7 @@ def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
             grid=grid,
             in_specs=[line_spec, wide_spec, mean_spec],
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((n_lines, half), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n_lines, half), odt),
             cost_estimate=cost,
             interpret=interpret,
         )(raw2d, w, mean2)
@@ -397,7 +401,7 @@ def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
         grid=grid,
         in_specs=[line_spec, op_spec, op_spec, mean_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((n_lines, half), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_lines, half), odt),
         cost_estimate=cost,
         interpret=interpret,
     )(raw2d, w_re, w_im, mean2)
@@ -433,7 +437,8 @@ def fused_depth_scale(
         compute_dtype=cfg.compute_dtype, precision=cfg.matmul_precision,
         log_scaling=cfg.log_scaling,
         gmin=cfg.grayscale_min, gmax=cfg.grayscale_max, addend=cfg.addend,
-        coeff=cfg.multiplicator, interpret=interpret)
+        coeff=cfg.multiplicator, output_dtype=cfg.output_dtype,
+        interpret=interpret)
     return mag.reshape(*lead_shape, mag.shape[-1])
 
 

@@ -218,12 +218,22 @@ class ProcConfig:
     # only): the planar (re, im) depth volumes then never reach HBM.  The
     # FPN-determination buffer and other modes use the unfused path.
     fused_scale: bool = True
+    # Storage dtype of the processed magnitude volume.  "bfloat16" halves
+    # the per-buffer output write-back and every device->host streaming
+    # transfer; the scaled image is display/quantize-grade data, so bf16's
+    # ~2-decimal-digit mantissa costs ~45 dB PSNR vs float32 — far above
+    # the 8..16-bit quantization applied before display/streaming anyway
+    # (cuda_code.cu:943-967).  All arithmetic stays float32; only the final
+    # store is narrowed.
+    output_dtype: str = "float32"
 
     def __post_init__(self):
         if self.rolling_average_window < 1:
             raise ValueError("rolling_average_window must be >= 1")
         if self.bscans_for_noise < 1:
             raise ValueError("bscans_for_noise must be >= 1")
+        if self.output_dtype not in ("float32", "bfloat16"):
+            raise ValueError("output_dtype must be 'float32' or 'bfloat16'")
 
 
 def default_full_config() -> ProcConfig:

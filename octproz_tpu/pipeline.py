@@ -139,8 +139,16 @@ def process_buffer(
     cfg: ProcConfig,
 ) -> Tuple[jnp.ndarray, FpnState]:
     """Full per-buffer step: raw uint (bscans, ascans, samples) ->
-    (processed float32 (bscans, ascans, samples//2), new FPN state)."""
+    (processed (bscans, ascans, samples//2) in cfg.output_dtype, new FPN
+    state)."""
     half = acq.output_ascan_length
+
+    def narrow(mag):
+        # cfg.output_dtype: arithmetic stays float32; only the stored volume
+        # is narrowed (the fused kernel already writes this dtype directly).
+        if cfg.output_dtype == "bfloat16":
+            return mag.astype(jnp.bfloat16)
+        return mag
 
     if cfg.fft_via_matmul:
         # fully planar path: no complex64 anywhere (runs on TPU backends
@@ -157,7 +165,7 @@ def process_buffer(
                      else postprocess.scale_lin_planar)
             mag = scale(z_re, z_im, half, cfg.grayscale_min,
                         cfg.grayscale_max, cfg.addend, cfg.multiplicator)
-            return mag, state
+            return narrow(mag), state
 
         # Steady-state hot path: GEMM + FPN subtraction + dynamic-range
         # scaling in one VMEM pass -- the planar (re, im) volumes never
@@ -199,7 +207,7 @@ def process_buffer(
         mag = postprocess.scale_lin(z_half, half, cfg.grayscale_min,
                                     cfg.grayscale_max, cfg.addend, cfg.multiplicator)
 
-    return postprocess_volume(mag, curves, cfg), fpn_state
+    return postprocess_volume(narrow(mag), curves, cfg), fpn_state
 
 
 @functools.lru_cache(maxsize=64)

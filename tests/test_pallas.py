@@ -242,3 +242,41 @@ def test_matmul_precision_knob_plumbs_through(rng, precision):
                          "fpn_mode": cfg.fpn_mode})
     want, _ = pipeline.process_buffer(raw, curves, state, ACQ, base)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+@pytest.mark.parametrize("backend", ["pallas", "xla"])
+def test_output_dtype_bfloat16(rng, backend):
+    """output_dtype=bfloat16 narrows only the stored volume: dtype is bf16
+    on every fold backend and the image stays within bf16 rounding of the
+    float32 path (arithmetic itself is unchanged)."""
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.CUBIC,
+                     windowing=True, dispersion=True, fpn_mode=FpnMode.OFF,
+                     log_scaling=True, fft_via_matmul=True,
+                     fold_backend=backend, output_dtype="bfloat16")
+    f32 = dataclasses.replace(cfg, output_dtype="float32")
+    curves = curves_mod.make_curves(
+        ACQ, cfg, resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 10.0, -4.0),
+        dispersion_coeffs=(0.0, 0.0, 8.0, 0.0))
+    raw = jnp.asarray(_raw(rng))
+    state = pipeline.initial_fpn_state(ACQ)
+    got, _ = pipeline.process_buffer(raw, curves, state, ACQ, cfg)
+    want, _ = pipeline.process_buffer(raw, curves, state, ACQ, f32)
+    assert got.dtype == jnp.bfloat16
+    assert want.dtype == jnp.float32
+    g = np.clip(np.asarray(got, np.float64), 0, 1)
+    w = np.clip(np.asarray(want, np.float64), 0, 1)
+    psnr = 10 * np.log10(1.0 / max(float(np.mean((g - w) ** 2)), 1e-30))
+    assert psnr > 40.0, f"bf16-output PSNR {psnr:.1f} dB"
+
+
+def test_output_dtype_bfloat16_unfused_path(rng):
+    """The non-matmul (FFT) pipeline honors output_dtype too."""
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.LINEAR,
+                     windowing=True, fpn_mode=FpnMode.OFF, log_scaling=True,
+                     output_dtype="bfloat16")
+    curves = curves_mod.make_curves(
+        ACQ, cfg, resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 0.0, 0.0))
+    raw = jnp.asarray(_raw(rng))
+    out, _ = pipeline.process_buffer(raw, curves,
+                                     pipeline.initial_fpn_state(ACQ), ACQ, cfg)
+    assert out.dtype == jnp.bfloat16
