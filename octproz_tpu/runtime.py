@@ -405,6 +405,11 @@ class StreamingEngine:
         # D2H fetch (the gpu2hostnotifier moment); on a multi-host mesh each
         # process fetches only its own B-scan block (model.fetch)
         host = self.model.fetch(dev)
+        if host.dtype.name == "bfloat16":
+            # cfg.output_dtype="bfloat16" halves the transfer; host-side
+            # consumers (float32 recorder, extensions, volume assembler)
+            # keep their float32 contract — upcast after the wire
+            host = host.astype(np.float32)
         if self.processed_recorder.recording:
             self.processed_recorder.record_buffer(host, buffer_nr)
             if (not self.processed_recorder.recording

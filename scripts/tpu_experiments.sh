@@ -58,5 +58,9 @@ run_one "concat32"  OCTPROZ_FOLD_CONCAT=1 OCTPROZ_BENCH_ATTEMPT=pallas:32:bfloat
 run_one "tile512"   OCTPROZ_PALLAS_TILE=512 OCTPROZ_BENCH_ATTEMPT=pallas:32:bfloat16
 run_one "c32t512"   OCTPROZ_FOLD_CONCAT=1 OCTPROZ_PALLAS_TILE=512 \
                     OCTPROZ_BENCH_ATTEMPT=pallas:32:bfloat16
+# 5. bf16 output store: halves the magnitude write-back
+run_one "out16c32"  OCTPROZ_BENCH_ATTEMPT=pallas:32:bfloat16:default:bfloat16
+run_one "out16cc32" OCTPROZ_FOLD_CONCAT=1 \
+                    OCTPROZ_BENCH_ATTEMPT=pallas:32:bfloat16:default:bfloat16
 
 echo "### done $(date)" | tee -a "$LOG"

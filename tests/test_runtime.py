@@ -236,3 +236,24 @@ def test_unfetched_buffers_still_throttle():
     for nr, dev, throttle in drained:
         assert dev is None
         assert throttle is not None  # the retained device scalar
+
+
+def test_bf16_output_upcast_for_host_consumers(tmp_path):
+    """cfg.output_dtype="bfloat16" halves D2H bytes; the drain path upcasts
+    so the float32 recorder and extensions keep their float32 contract."""
+    cfg = dataclasses.replace(CFG, output_dtype="bfloat16")
+    model = FdOctModel(ACQ, cfg,
+                       resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 0.0, 0.0))
+    source = SyntheticSource(ACQ, n_buffers=4)
+    eng = StreamingEngine(model, source)
+    params = RecordingParams(save_dir=str(tmp_path), name="b",
+                             buffers_to_record=2, save_raw=False,
+                             save_processed=True, save_as_32bit_float=True,
+                             save_meta=False)
+    eng.start_recording(params)
+    eng.run()
+    procs = glob.glob(str(tmp_path / "*_processed_float32_*.raw"))
+    assert len(procs) == 1, glob.glob(str(tmp_path / "*"))
+    data = np.fromfile(procs[0], dtype=np.float32)
+    assert data.size == 2 * ACQ.ascans_per_buffer * ACQ.output_ascan_length
+    assert np.isfinite(data).all()
