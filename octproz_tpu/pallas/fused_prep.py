@@ -176,11 +176,37 @@ def _kernel_depth(raw_ref, wre_ref, wim_ref, re_ref, im_ref,
                         precision=precision)
 
 
+def _scale_affine(log_scaling: bool, half: int, gmin: float, gmax: float,
+                  addend: float, coeff: float) -> Tuple[float, float]:
+    """Fold the dynamic-range scaling into two constants so the kernel
+    epilogue is one transcendental plus one fma per element:
+
+      log: coeff*((10*log10(p/half) - gmin)/(gmax-gmin) + addend) = A*log10(p) + B
+      lin: coeff*((sqrt(p)/half   - gmin)/(gmax-gmin) + addend) = A*sqrt(p)  + B
+
+    Computed in float64 numpy (division by a zero range yields inf, matching
+    the unfolded expression's behavior, not a Python exception)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = np.float64(coeff) / (np.float64(gmax) - np.float64(gmin))
+        base = np.float64(coeff) * addend - s * gmin
+        if log_scaling:
+            a = 10.0 * s
+            b = base - s * 10.0 * np.log10(np.float64(half))
+        else:
+            a = s / np.float64(half)
+            b = base
+    return float(a), float(b)
+
+
+def _scale_epilogue(p, *, log_scaling: bool, a: float, b: float):
+    v = jnp.log10(p) if log_scaling else jnp.sqrt(p)
+    return jnp.float32(a) * v + jnp.float32(b)
+
+
 def _kernel_depth_scale_concat(raw_ref, w_ref, mean_ref, out_ref,
                                *, bit_depth: int, bitshift: bool,
                                compute_dtype, precision, log_scaling: bool,
-                               half: int, gmin: float, gmax: float,
-                               addend: float, coeff: float):
+                               half: int, a: float, b: float):
     """Single-GEMM variant: the (re | im) operators are concatenated along
     the output axis so the MXU runs ONE (tile, n_in) x (n_in, 2*half) pass
     per tile instead of two half-width ones."""
@@ -190,28 +216,22 @@ def _kernel_depth_scale_concat(raw_ref, w_ref, mean_ref, out_ref,
     re = y[:, :half] - mean_ref[0:1, :]
     im = y[:, half:] - mean_ref[1:2, :]
     p = re * re + im * im
-    if log_scaling:
-        v = 10.0 * jnp.log10(p / jnp.float32(half))
-    else:
-        v = jnp.sqrt(p) / jnp.float32(half)
-    out = jnp.float32(coeff) * (
-        (v - jnp.float32(gmin)) / jnp.float32(gmax - gmin)
-        + jnp.float32(addend))
+    out = _scale_epilogue(p, log_scaling=log_scaling, a=a, b=b)
     out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _kernel_depth_scale(raw_ref, wre_ref, wim_ref, mean_ref, out_ref,
                         *, bit_depth: int, bitshift: bool, compute_dtype,
-                        precision, log_scaling: bool, half: int, gmin: float,
-                        gmax: float, addend: float, coeff: float):
+                        precision, log_scaling: bool, a: float, b: float):
     """Decode + full-fold depth operator + FPN mean-line subtraction +
     dynamic-range scaling, all in one VMEM pass.
 
     The planar (re, im) depth profiles never reach HBM: the epilogue
     (meanALineSubtraction + postProcessTruncateLog/Lin numerics,
-    cuda_code.cu:567-584,699-741) runs on the GEMM tile while it is still in
-    VMEM and only the final magnitude image is written -- per buffer that
-    removes a write+read of both full planar volumes."""
+    cuda_code.cu:567-584,699-741 -- constant-folded to A*log10(p)+B, see
+    _scale_affine) runs on the GEMM tile while it is still in VMEM and only
+    the final magnitude image is written -- per buffer that removes a
+    write+read of both full planar volumes."""
     x = _decode_block(raw_ref[:], bit_depth, bitshift).astype(compute_dtype)
     re = jnp.dot(x, wre_ref[:], preferred_element_type=jnp.float32,
                  precision=precision)
@@ -220,14 +240,7 @@ def _kernel_depth_scale(raw_ref, wre_ref, wim_ref, mean_ref, out_ref,
     re = re - mean_ref[0:1, :]
     im = im - mean_ref[1:2, :]
     p = re * re + im * im
-    if log_scaling:
-        v = 10.0 * jnp.log10(p / jnp.float32(half))
-    else:
-        v = jnp.sqrt(p) / jnp.float32(half)
-    # identical expression to ops.postprocess.scale_{log,lin}_planar
-    out = jnp.float32(coeff) * (
-        (v - jnp.float32(gmin)) / jnp.float32(gmax - gmin)
-        + jnp.float32(addend))
+    out = _scale_epilogue(p, log_scaling=log_scaling, a=a, b=b)
     out_ref[:] = out.astype(out_ref.dtype)
 
 
@@ -371,6 +384,7 @@ def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
     )
     import os
 
+    a, b = _scale_affine(log_scaling, half, gmin, gmax, addend, coeff)
     if os.environ.get("OCTPROZ_FOLD_CONCAT"):
         # single-GEMM variant: one (n_in, 2*half) operator pass per tile
         w = jnp.concatenate([w_re, w_im], axis=1)
@@ -378,7 +392,7 @@ def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
             _kernel_depth_scale_concat, bit_depth=bit_depth,
             bitshift=bitshift, compute_dtype=cdt,
             precision=_precision(precision), log_scaling=log_scaling,
-            half=half, gmin=gmin, gmax=gmax, addend=addend, coeff=coeff)
+            half=half, a=a, b=b)
         wide_spec = pl.BlockSpec((n_in, 2 * half), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
         return pl.pallas_call(
@@ -394,8 +408,7 @@ def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
     kernel = functools.partial(
         _kernel_depth_scale, bit_depth=bit_depth, bitshift=bitshift,
         compute_dtype=cdt, precision=_precision(precision),
-        log_scaling=log_scaling, half=half, gmin=gmin,
-        gmax=gmax, addend=addend, coeff=coeff)
+        log_scaling=log_scaling, a=a, b=b)
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -62,5 +62,9 @@ run_one "c32t512"   OCTPROZ_FOLD_CONCAT=1 OCTPROZ_PALLAS_TILE=512 \
 run_one "out16c32"  OCTPROZ_BENCH_ATTEMPT=pallas:32:bfloat16:default:bfloat16
 run_one "out16cc32" OCTPROZ_FOLD_CONCAT=1 \
                     OCTPROZ_BENCH_ATTEMPT=pallas:32:bfloat16:default:bfloat16
+# 6. XLA fold at the same chunk depth (XLA may pipeline decode/epilogue
+#    against the GEMM better than the serial Mosaic kernel)
+run_one "xla32"     OCTPROZ_BENCH_ATTEMPT=xla:32:bfloat16
+run_one "xla32o16"  OCTPROZ_BENCH_ATTEMPT=xla:32:bfloat16:default:bfloat16
 
 echo "### done $(date)" | tee -a "$LOG"
