@@ -113,9 +113,6 @@ def _run(cfg, n_iters: int = 40, chunk: int = 1) -> float:
         return jax.random.randint(key, acq.buffer_shape, 0, 4096,
                                   dtype=jnp.int32).astype(jnp.uint16)
 
-    ring = [gen(jax.random.PRNGKey(i)) for i in range(max(4, chunk))]
-    jax.block_until_ready(ring)
-
     if chunk > 1:
         # Throughput mode: CHUNK full per-buffer steps inside ONE jitted
         # call, FPN state threaded buffer-to-buffer exactly like repeated
@@ -135,10 +132,11 @@ def _run(cfg, n_iters: int = 40, chunk: int = 1) -> float:
         # lax.scan over a stacked ring: the pipeline body is traced/compiled
         # ONCE regardless of chunk size (a Python-unrolled loop would compile
         # `chunk` copies -- costly on the tunneled backend where first compile
-        # is already 80-300 s).
-        raw_stack = jnp.stack(ring[:chunk]) if chunk <= len(ring) else \
-            jnp.stack([ring[i % len(ring)] for i in range(chunk)])
-        del ring  # free the unstacked copies (the stack doubles raw HBM)
+        # is already 80-300 s).  Generated directly as ONE stacked array:
+        # stacking a list of per-buffer rings transiently doubles raw HBM
+        # (chunk 32 = 2 x 8.6 GB > 16 GB -> RESOURCE_EXHAUSTED).
+        raw_stack = jax.jit(jax.vmap(gen))(
+            jax.random.split(jax.random.PRNGKey(0), chunk))
         jax.block_until_ready(raw_stack)
 
         if cfg.fold_backend == "pallas":
@@ -194,6 +192,8 @@ def _run(cfg, n_iters: int = 40, chunk: int = 1) -> float:
         return done * acq.ascans_per_buffer / elapsed / 1e6
 
     step = pipeline.make_step(acq, cfg)
+    ring = [gen(jax.random.PRNGKey(i)) for i in range(4)]
+    jax.block_until_ready(ring)
 
     # Warmup: compile + FPN determination; materialize to prove execution.
     out, state = step(ring[0], curves, state)
