@@ -198,7 +198,34 @@ def _scale_affine(log_scaling: bool, half: int, gmin: float, gmax: float,
     return float(a), float(b)
 
 
-def _scale_epilogue(p, *, log_scaling: bool, a: float, b: float):
+_LOG2_POLY = (-2.786805564, 5.046852936, -3.492466043, 1.593884548,
+              -4.048623094e-01, 4.342836333e-02)  # log2(m), m in [1,2),
+# degree-5 least-squares fit, max |err| 3.2e-5 (~115 dB-grade on a 60 dB
+# display range) -- the TPU analog of the reference's --use_fast_math
+# log10f (octproz/pri/cuda.pri:66-71)
+
+
+def _fast_log2(p):
+    """Exponent-extraction log2: integer ops + 5 fma, no transcendental.
+    p must be a non-negative float32 (sum of squares here).  p == 0 yields
+    ~-127 (finite) instead of -inf."""
+    i = jax.lax.bitcast_convert_type(p, jnp.int32)
+    e = jax.lax.shift_right_logical(i, jnp.int32(23)) - jnp.int32(127)
+    mi = jax.lax.bitwise_or(jax.lax.bitwise_and(i, jnp.int32(0x007FFFFF)),
+                            jnp.int32(0x3F800000))
+    m = jax.lax.bitcast_convert_type(mi, jnp.float32)
+    r = jnp.float32(_LOG2_POLY[-1])
+    for c in _LOG2_POLY[-2::-1]:
+        r = r * m + jnp.float32(c)
+    return e.astype(jnp.float32) + r
+
+
+def _scale_epilogue(p, *, log_scaling: bool, a: float, b: float,
+                    fast_log: bool = False):
+    if log_scaling and fast_log:
+        # a*log10(p) + b == (a*log10(2))*log2(p) + b
+        return jnp.float32(a * 0.30102999566398120) * _fast_log2(p) \
+            + jnp.float32(b)
     v = jnp.log10(p) if log_scaling else jnp.sqrt(p)
     return jnp.float32(a) * v + jnp.float32(b)
 
@@ -222,7 +249,8 @@ def _kernel_depth_scale_concat(raw_ref, w_ref, mean_ref, out_ref,
 
 def _kernel_depth_scale(raw_ref, wre_ref, wim_ref, mean_ref, out_ref,
                         *, bit_depth: int, bitshift: bool, compute_dtype,
-                        precision, log_scaling: bool, a: float, b: float):
+                        precision, log_scaling: bool, a: float, b: float,
+                        fast_log: bool = False, k_split: int = 1):
     """Decode + full-fold depth operator + FPN mean-line subtraction +
     dynamic-range scaling, all in one VMEM pass.
 
@@ -231,16 +259,38 @@ def _kernel_depth_scale(raw_ref, wre_ref, wim_ref, mean_ref, out_ref,
     cuda_code.cu:567-584,699-741 -- constant-folded to A*log10(p)+B, see
     _scale_affine) runs on the GEMM tile while it is still in VMEM and only
     the final magnitude image is written -- per buffer that removes a
-    write+read of both full planar volumes."""
-    x = _decode_block(raw_ref[:], bit_depth, bitshift).astype(compute_dtype)
-    re = jnp.dot(x, wre_ref[:], preferred_element_type=jnp.float32,
-                 precision=precision)
-    im = jnp.dot(x, wim_ref[:], preferred_element_type=jnp.float32,
-                 precision=precision)
+    write+read of both full planar volumes.
+
+    k_split > 1 splits the contraction dim into independent
+    decode->partial-GEMM chains so Mosaic can overlap the VPU integer
+    decode of chunk j+1 with the MXU pass of chunk j (the decode is
+    otherwise a serial prologue of every grid step)."""
+    if k_split > 1:
+        n_in = raw_ref.shape[-1]
+        kk = n_in // k_split
+        re = im = jnp.float32(0)
+        for j in range(k_split):
+            sl = slice(j * kk, (j + 1) * kk) if j < k_split - 1 else \
+                slice(j * kk, n_in)
+            xj = _decode_block(raw_ref[:, sl], bit_depth,
+                               bitshift).astype(compute_dtype)
+            re = re + jnp.dot(xj, wre_ref[sl, :],
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
+            im = im + jnp.dot(xj, wim_ref[sl, :],
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
+    else:
+        x = _decode_block(raw_ref[:], bit_depth, bitshift).astype(compute_dtype)
+        re = jnp.dot(x, wre_ref[:], preferred_element_type=jnp.float32,
+                     precision=precision)
+        im = jnp.dot(x, wim_ref[:], preferred_element_type=jnp.float32,
+                     precision=precision)
     re = re - mean_ref[0:1, :]
     im = im - mean_ref[1:2, :]
     p = re * re + im * im
-    out = _scale_epilogue(p, log_scaling=log_scaling, a=a, b=b)
+    out = _scale_epilogue(p, log_scaling=log_scaling, a=a, b=b,
+                          fast_log=fast_log)
     out_ref[:] = out.astype(out_ref.dtype)
 
 
@@ -408,7 +458,9 @@ def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
     kernel = functools.partial(
         _kernel_depth_scale, bit_depth=bit_depth, bitshift=bitshift,
         compute_dtype=cdt, precision=_precision(precision),
-        log_scaling=log_scaling, a=a, b=b)
+        log_scaling=log_scaling, a=a, b=b,
+        fast_log=bool(os.environ.get("OCTPROZ_FAST_LOG")),
+        k_split=int(os.environ.get("OCTPROZ_FOLD_KSPLIT", "1")))
     return pl.pallas_call(
         kernel,
         grid=grid,

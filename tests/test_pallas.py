@@ -280,3 +280,42 @@ def test_output_dtype_bfloat16_unfused_path(rng):
     out, _ = pipeline.process_buffer(raw, curves,
                                      pipeline.initial_fpn_state(ACQ), ACQ, cfg)
     assert out.dtype == jnp.bfloat16
+
+
+@pytest.mark.parametrize("env,val", [("OCTPROZ_FOLD_KSPLIT", "2"),
+                                     ("OCTPROZ_FOLD_KSPLIT", "4"),
+                                     ("OCTPROZ_FAST_LOG", "1")])
+def test_scale_kernel_tuning_variants_match(rng, env, val, monkeypatch):
+    """Env-gated kernel tuning variants (K-split decode/GEMM overlap,
+    fast-log2 epilogue) must stay within display-grade agreement of the
+    default kernel (the fast-log analog of the reference's --use_fast_math,
+    octproz/pri/cuda.pri:66-71)."""
+    import importlib
+    fp = importlib.import_module("octproz_tpu.pallas.fused_prep")
+    cfg = ProcConfig(bitshift=True, resampling=True,
+                     interpolation=Interpolation.CUBIC,
+                     windowing=True, dispersion=True, fpn_mode=FpnMode.OFF,
+                     log_scaling=True, fft_via_matmul=True)
+    curves = curves_mod.make_curves(
+        ACQ, cfg, resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 10.0, -4.0),
+        dispersion_coeffs=(0.0, 0.0, 8.0, 0.0))
+    raw = jnp.asarray(_raw(rng))
+    mean2 = jnp.zeros((2, ACQ.output_ascan_length), jnp.float32)
+
+    def run():
+        fp._fused_depth_scale_impl.clear_cache()
+        return np.asarray(fp.fused_depth_scale(
+            raw, curves.depth_op_re, curves.depth_op_im, mean2, ACQ, cfg,
+            interpret=True), np.float64)
+
+    base = run()
+    monkeypatch.setenv(env, val)
+    got = run()
+    monkeypatch.delenv(env)
+    fp._fused_depth_scale_impl.clear_cache()  # don't leak the variant trace
+    np.testing.assert_array_equal(np.isfinite(base), np.isfinite(got))
+    fin = np.isfinite(base)
+    rng_ = base[fin].max() - base[fin].min()
+    mse = float(np.mean((got[fin] - base[fin]) ** 2))
+    psnr = 10 * np.log10(rng_ ** 2 / max(mse, 1e-30))
+    assert psnr > 60.0, f"{env}={val}: PSNR {psnr:.1f} dB"
