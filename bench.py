@@ -374,7 +374,8 @@ def main() -> None:
     # TPU MXU bfloat16 operands are numerically IDENTICAL to default-
     # precision float32 (both one bf16 pass) at a fraction of the passes
     # and half the operand bandwidth — it is the honest fastest config.
-    attempts = (["pallas:16:bfloat16", "pallas:8:bfloat16", "pallas:8",
+    attempts = (["pallas:32:bfloat16", "pallas:16:bfloat16",
+                 "pallas:8:bfloat16", "pallas:8",
                  "xla:8:bfloat16", "xla:8", "pallas", "xla"]
                 if not force_cpu else ["xla"])
     # Final honest fallback: a clearly-labeled CPU measurement beats no

@@ -294,13 +294,16 @@ def _kernel_depth_scale(raw_ref, wre_ref, wim_ref, mean_ref, out_ref,
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _pick_tile(n_lines: int) -> int:
-    """Lines per kernel tile.  Default max 256 keeps (tile, n_in) + outputs
-    comfortably in VMEM at 1024-sample lines; OCTPROZ_PALLAS_TILE raises or
-    lowers the cap for tuning (bench sweeps it)."""
+def _pick_tile(n_lines: int, n_in: int = 1024) -> int:
+    """Lines per kernel tile.  512 at 1024-sample lines measured fastest on
+    v5e (56.7 vs 56.3 MHz at 256; docs/performance.md) and keeps the tile
+    operands within the ~16 MB VMEM with double buffering; the cap scales
+    down with longer lines so the raw+decoded tile footprint stays constant.
+    OCTPROZ_PALLAS_TILE overrides for tuning (bench sweeps it)."""
     import os
 
-    max_tile = int(os.environ.get("OCTPROZ_PALLAS_TILE", "256"))
+    cap = max(64, 512 * 1024 // max(n_in, 1))
+    max_tile = int(os.environ.get("OCTPROZ_PALLAS_TILE", str(cap)))
     for tile in (1024, 512, 256, 128, 64, 32, 16, 8):
         if tile <= max_tile and n_lines % tile == 0:
             return tile
@@ -313,7 +316,7 @@ def _fused_prep_impl(raw2d, op, cos_row, sin_row, *, bit_depth: int,
                      bitshift: bool, precision: str, interpret: bool):
     n_lines, n_in = raw2d.shape
     n_out = op.shape[1]
-    tile = _pick_tile(n_lines)
+    tile = _pick_tile(n_lines, n_in)
     grid = (n_lines // tile,)
     line_spec = pl.BlockSpec((tile, n_in), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -367,7 +370,7 @@ def _fused_depth_impl(raw2d, w_re, w_im, *, bit_depth: int, bitshift: bool,
                       compute_dtype: str, precision: str, interpret: bool):
     n_lines, n_in = raw2d.shape
     half = w_re.shape[1]
-    tile = _pick_tile(n_lines)
+    tile = _pick_tile(n_lines, n_in)
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     if compute_dtype == "bfloat16":
         w_re, w_im = w_re.astype(jnp.bfloat16), w_im.astype(jnp.bfloat16)
@@ -411,7 +414,7 @@ def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
                             output_dtype: str, interpret: bool):
     n_lines, n_in = raw2d.shape
     half = w_re.shape[1]
-    tile = _pick_tile(n_lines)
+    tile = _pick_tile(n_lines, n_in)
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     odt = jnp.bfloat16 if output_dtype == "bfloat16" else jnp.float32
     if compute_dtype == "bfloat16":
