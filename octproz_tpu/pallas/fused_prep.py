@@ -48,10 +48,41 @@ from ..params import AcqParams, ProcConfig
 def _precision(name: str):
     """MXU pass count for float32 GEMMs (see ProcConfig.matmul_precision):
     the MXU multiplies in bfloat16, so "default" float32 is bf16-grade;
-    "highest" emulates true float32 with 6 passes."""
+    "highest" emulates true float32 with 6 passes.
+
+    "high" never reaches this table on the Pallas/fold paths: Mosaic rejects
+    lax.Precision.HIGH ("Unsupported dot precision"), so the 3-pass
+    semantics are implemented manually via :func:`_split_bf16` +
+    :func:`_dot3` (bf16 hi/lo operand decomposition)."""
     return {"default": jax.lax.Precision.DEFAULT,
             "high": jax.lax.Precision.HIGH,
             "highest": jax.lax.Precision.HIGHEST}[name]
+
+
+def _split_bf16(w):
+    """Decompose a float32 matrix into bf16 (hi, lo) with hi + lo == w up to
+    ~2^-17 relative: hi keeps the top 8 mantissa bits, lo the next 8."""
+    hi = w.astype(jnp.bfloat16)
+    lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(x, w_hi, w_lo):
+    """float32-grade GEMM from THREE bf16 MXU passes (the manual form of
+    lax.Precision.HIGH, which Mosaic does not legalize):
+
+        x @ w ~= x_hi@w_hi + x_hi@w_lo + x_lo@w_hi     (f32 accumulation)
+
+    The dropped x_lo@w_lo term is ~2^-16 relative.  For the OCT decode path
+    x is integer-valued (<= 16-bit), so x == x_hi + x_lo exactly and the
+    only operand error is w's lo rounding.  3x the passes of "default" vs
+    6x for "highest" -- and unlike "highest" it is tunnel-safe (CLAUDE.md:
+    native HIGHEST wedges the axon remote-compile tunnel)."""
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = jnp.dot(x_hi, w_lo, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(x_lo, w_hi, preferred_element_type=jnp.float32)
+    return acc + jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32)
 
 
 def build_prep_operator(
@@ -166,6 +197,20 @@ def _kernel_real(raw_ref, op_ref, out_ref, *, bit_depth: int, bitshift: bool,
                          precision=precision)
 
 
+def _kernel_phase_3p(raw_ref, ophi_ref, oplo_ref, cos_ref, sin_ref,
+                     re_ref, im_ref, *, bit_depth: int, bitshift: bool):
+    x = _decode_block(raw_ref[:], bit_depth, bitshift)
+    y = _dot3(x, ophi_ref[:], oplo_ref[:])
+    re_ref[:] = y * cos_ref[:]
+    im_ref[:] = y * sin_ref[:]
+
+
+def _kernel_real_3p(raw_ref, ophi_ref, oplo_ref, out_ref,
+                    *, bit_depth: int, bitshift: bool):
+    x = _decode_block(raw_ref[:], bit_depth, bitshift)
+    out_ref[:] = _dot3(x, ophi_ref[:], oplo_ref[:])
+
+
 def _kernel_depth(raw_ref, wre_ref, wim_ref, re_ref, im_ref,
                   *, bit_depth: int, bitshift: bool, compute_dtype, precision):
     """Decode + full-fold depth operator: two GEMMs, nothing else."""
@@ -174,6 +219,15 @@ def _kernel_depth(raw_ref, wre_ref, wim_ref, re_ref, im_ref,
                         precision=precision)
     im_ref[:] = jnp.dot(x, wim_ref[:], preferred_element_type=jnp.float32,
                         precision=precision)
+
+
+def _kernel_depth_3p(raw_ref, wre_hi_ref, wre_lo_ref, wim_hi_ref, wim_lo_ref,
+                     re_ref, im_ref, *, bit_depth: int, bitshift: bool):
+    """3-pass ("high") variant of _kernel_depth: f32-grade fidelity from
+    bf16 hi/lo operand splits (see _dot3)."""
+    x = _decode_block(raw_ref[:], bit_depth, bitshift)
+    re_ref[:] = _dot3(x, wre_hi_ref[:], wre_lo_ref[:])
+    im_ref[:] = _dot3(x, wim_hi_ref[:], wim_lo_ref[:])
 
 
 def _scale_affine(log_scaling: bool, half: int, gmin: float, gmax: float,
@@ -294,6 +348,23 @@ def _kernel_depth_scale(raw_ref, wre_ref, wim_ref, mean_ref, out_ref,
     out_ref[:] = out.astype(out_ref.dtype)
 
 
+def _kernel_depth_scale_3p(raw_ref, wre_hi_ref, wre_lo_ref, wim_hi_ref,
+                           wim_lo_ref, mean_ref, out_ref, *, bit_depth: int,
+                           bitshift: bool, log_scaling: bool,
+                           a: float, b: float):
+    """3-pass ("high") variant of _kernel_depth_scale: the same single-pass
+    epilogue, but the two depth GEMMs run as bf16 hi/lo splits (_dot3) for
+    float32-grade fidelity at 3x the default-pass cost -- the Mosaic-safe
+    middle point between default (bf16-grade) and the 6-pass "highest"
+    (which wedges the axon tunnel, CLAUDE.md)."""
+    x = _decode_block(raw_ref[:], bit_depth, bitshift)
+    re = _dot3(x, wre_hi_ref[:], wre_lo_ref[:]) - mean_ref[0:1, :]
+    im = _dot3(x, wim_hi_ref[:], wim_lo_ref[:]) - mean_ref[1:2, :]
+    p = re * re + im * im
+    out = _scale_epilogue(p, log_scaling=log_scaling, a=a, b=b)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
 def _pick_tile(n_lines: int, n_in: int = 1024) -> int:
     """Lines per kernel tile.  512 at 1024-sample lines measured fastest on
     v5e (56.7 vs 56.3 MHz at 256; docs/performance.md) and keeps the tile
@@ -330,6 +401,42 @@ def _fused_prep_impl(raw2d, op, cos_row, sin_row, *, bit_depth: int,
         + op.size * 4 + 2 * n_lines * n_out * 4,
         transcendentals=0,
     )
+    if precision == "high":
+        op_hi, op_lo = _split_bf16(op)
+        cost3 = pl.CostEstimate(
+            flops=3 * 2 * n_lines * n_in * n_out,
+            bytes_accessed=raw2d.size * raw2d.dtype.itemsize
+            + 2 * op.size * 2 + 2 * n_lines * n_out * 4,
+            transcendentals=0)
+        if cos_row is not None:
+            row_spec = pl.BlockSpec((1, n_out), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+            kernel = functools.partial(_kernel_phase_3p, bit_depth=bit_depth,
+                                       bitshift=bitshift)
+            re, im = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[line_spec, op_spec, op_spec, row_spec, row_spec],
+                out_specs=(out_spec, out_spec),
+                out_shape=(
+                    jax.ShapeDtypeStruct((n_lines, n_out), jnp.float32),
+                    jax.ShapeDtypeStruct((n_lines, n_out), jnp.float32),
+                ),
+                cost_estimate=cost3,
+                interpret=interpret,
+            )(raw2d, op_hi, op_lo, cos_row, sin_row)
+            return jax.lax.complex(re, im)
+        kernel = functools.partial(_kernel_real_3p, bit_depth=bit_depth,
+                                   bitshift=bitshift)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[line_spec, op_spec, op_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((n_lines, n_out), jnp.float32),
+            cost_estimate=cost3,
+            interpret=interpret,
+        )(raw2d, op_hi, op_lo)
     if cos_row is not None:
         row_spec = pl.BlockSpec((1, n_out), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
@@ -381,6 +488,28 @@ def _fused_depth_impl(raw2d, w_re, w_im, *, bit_depth: int, bitshift: bool,
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tile, half), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    if precision == "high" and compute_dtype != "bfloat16":
+        wre_hi, wre_lo = _split_bf16(w_re)
+        wim_hi, wim_lo = _split_bf16(w_im)
+        kernel = functools.partial(_kernel_depth_3p, bit_depth=bit_depth,
+                                   bitshift=bitshift)
+        re, im = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[line_spec, op_spec, op_spec, op_spec, op_spec],
+            out_specs=(out_spec, out_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_lines, half), jnp.float32),
+                jax.ShapeDtypeStruct((n_lines, half), jnp.float32),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=3 * 4 * n_lines * n_in * half,
+                bytes_accessed=raw2d.size * raw2d.dtype.itemsize
+                + 4 * n_in * half * 2 + 2 * n_lines * half * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(raw2d, wre_hi, wre_lo, wim_hi, wim_lo)
+        return re, im
     kernel = functools.partial(_kernel_depth, bit_depth=bit_depth,
                                bitshift=bitshift, compute_dtype=cdt,
                                precision=_precision(precision))
@@ -438,6 +567,29 @@ def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
     import os
 
     a, b = _scale_affine(log_scaling, half, gmin, gmax, addend, coeff)
+    if precision == "high" and compute_dtype != "bfloat16":
+        # f32-grade fidelity from 3 bf16 passes per GEMM (see _dot3); Mosaic
+        # cannot legalize lax.Precision.HIGH so the split is done by hand
+        wre_hi, wre_lo = _split_bf16(w_re)
+        wim_hi, wim_lo = _split_bf16(w_im)
+        kernel = functools.partial(
+            _kernel_depth_scale_3p, bit_depth=bit_depth, bitshift=bitshift,
+            log_scaling=log_scaling, a=a, b=b)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[line_spec, op_spec, op_spec, op_spec, op_spec,
+                      mean_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((n_lines, half), odt),
+            cost_estimate=pl.CostEstimate(
+                flops=3 * 4 * n_lines * n_in * half,
+                bytes_accessed=raw2d.size * raw2d.dtype.itemsize
+                + 4 * n_in * half * 2
+                + n_lines * half * jnp.dtype(odt).itemsize,
+                transcendentals=n_lines * half if log_scaling else 0),
+            interpret=interpret,
+        )(raw2d, wre_hi, wre_lo, wim_hi, wim_lo, mean2)
     if os.environ.get("OCTPROZ_FOLD_CONCAT"):
         # single-GEMM variant: one (n_in, 2*half) operator pass per tile
         w = jnp.concatenate([w_re, w_im], axis=1)
@@ -541,11 +693,20 @@ def fused_depth_transform(
             x = x.astype(jnp.bfloat16)
             depth_op_re = depth_op_re.astype(jnp.bfloat16)
             depth_op_im = depth_op_im.astype(jnp.bfloat16)
-        prec = _precision(cfg.matmul_precision)
-        re = jnp.matmul(x, depth_op_re, preferred_element_type=jnp.float32,
-                        precision=prec)
-        im = jnp.matmul(x, depth_op_im, preferred_element_type=jnp.float32,
-                        precision=prec)
+        if (cfg.matmul_precision == "high"
+                and cfg.compute_dtype != "bfloat16"):
+            # same manual 3-pass split as the Pallas path, so "high" output
+            # is backend-independent (XLA's own HIGH lowering may differ)
+            re = _dot3(x, *_split_bf16(depth_op_re))
+            im = _dot3(x, *_split_bf16(depth_op_im))
+        else:
+            prec = _precision(cfg.matmul_precision)
+            re = jnp.matmul(x, depth_op_re,
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+            im = jnp.matmul(x, depth_op_im,
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
     else:
         re, im = _fused_depth_impl(raw2d, depth_op_re, depth_op_im,
                                    bit_depth=acq.bit_depth, bitshift=cfg.bitshift,

@@ -199,6 +199,11 @@ class ProcConfig:
     # MXU multiplies in bfloat16; "default" float32 is therefore bf16-grade
     # accuracy (measured ~25 dB golden PSNR vs the float64 oracle on v5e),
     # while "highest" restores the reference's fast-math-float32 fidelity.
+    # "high" is implemented MANUALLY on the fold paths as a bf16 hi/lo
+    # operand split (3 bf16 MXU passes, ~f32 fidelity; pallas/fused_prep
+    # _dot3) because Mosaic rejects lax.Precision.HIGH and the native
+    # 6-pass "highest" wedges the axon remote-compile tunnel (CLAUDE.md) --
+    # "high" is the recommended high-fidelity operating point on TPU.
     # Ignored when compute_dtype="bfloat16".
     matmul_precision: str = "default"
     # Run stages 1-3 as the single fused Pallas kernel (decode + folded

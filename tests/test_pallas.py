@@ -225,8 +225,10 @@ def test_fused_scale_epilogue_fpn_off(rng):
 
 @pytest.mark.parametrize("precision", ["default", "high", "highest"])
 def test_matmul_precision_knob_plumbs_through(rng, precision):
-    """matmul_precision traces through every GEMM path (on CPU all
-    precisions are exact, so outputs must match the default exactly)."""
+    """matmul_precision traces through every GEMM path.  On CPU "default"
+    and "highest" are exact float32, so they match bit-for-bit; "high" runs
+    the manual bf16x3 split on EVERY backend (backend-independent numerics)
+    and must agree to its ~2^-16 relative error bound instead."""
     cfg = ProcConfig(resampling=True, interpolation=Interpolation.CUBIC,
                      windowing=True, dispersion=True, fpn_mode=FpnMode.OFF,
                      log_scaling=True, fft_via_matmul=True,
@@ -241,7 +243,70 @@ def test_matmul_precision_knob_plumbs_through(rng, precision):
                          "interpolation": cfg.interpolation,
                          "fpn_mode": cfg.fpn_mode})
     want, _ = pipeline.process_buffer(raw, curves, state, ACQ, base)
-    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+    if precision == "high":
+        w = np.clip(np.asarray(want, np.float64), 0, 1)
+        g = np.clip(np.asarray(out, np.float64), 0, 1)
+        psnr = 10 * np.log10(1.0 / max(float(np.mean((g - w) ** 2)), 1e-30))
+        assert psnr > 60.0, f"high-precision PSNR {psnr:.1f} dB"
+    else:
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_high_precision_fidelity_ladder(rng):
+    """The bf16x3 "high" mode must recover (nearly) float32 fidelity: vs the
+    exact-f32 CPU reference, "high" sits far above bf16-grade compute --
+    the CPU-measurable proxy for the TPU ladder where default-precision f32
+    IS bf16-grade (~25 dB golden) and "high" restores reference-class
+    fidelity without the tunnel-wedging 6-pass "highest"."""
+    cfg = ProcConfig(bitshift=True, resampling=True,
+                     interpolation=Interpolation.CUBIC, windowing=True,
+                     dispersion=True, fpn_mode=FpnMode.OFF, log_scaling=True,
+                     fft_via_matmul=True)
+    bf16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    high = dataclasses.replace(cfg, matmul_precision="high")
+    curves = curves_mod.make_curves(
+        ACQ, cfg, resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 10.0, -4.0),
+        dispersion_coeffs=(0.0, 0.0, 8.0, 0.0))
+    raw = jnp.asarray(_raw(rng))
+    state = pipeline.initial_fpn_state(ACQ)
+    ref, _ = pipeline.process_buffer(raw, curves, state, ACQ, cfg)
+    ref = np.clip(np.asarray(ref, np.float64), 0, 1)
+
+    def psnr(c):
+        got, _ = pipeline.process_buffer(raw, curves, state, ACQ, c)
+        g = np.clip(np.asarray(got, np.float64), 0, 1)
+        return 10 * np.log10(1.0 / max(float(np.mean((g - ref) ** 2)), 1e-30))
+
+    p_bf16, p_high = psnr(bf16), psnr(high)
+    assert p_high > 60.0, f"high: {p_high:.1f} dB"
+    assert p_high > p_bf16 + 15.0, (
+        f"high ({p_high:.1f} dB) should clearly beat bf16 ({p_bf16:.1f} dB)")
+
+
+def test_high_precision_xla_backend_matches_pallas(rng):
+    """"high" uses the same manual 3-pass split on both fold backends, so
+    they agree to float32 accumulation-order tolerance."""
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.CUBIC,
+                     windowing=True, dispersion=True, fpn_mode=FpnMode.OFF,
+                     log_scaling=True, fft_via_matmul=True,
+                     matmul_precision="high")
+    xla_cfg = dataclasses.replace(cfg, fold_backend="xla")
+    curves = curves_mod.make_curves(
+        ACQ, cfg, resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 10.0, -4.0),
+        dispersion_coeffs=(0.0, 0.0, 8.0, 0.0))
+    raw = jnp.asarray(_raw(rng))
+    state = pipeline.initial_fpn_state(ACQ)
+    a, _ = pipeline.process_buffer(raw, curves, state, ACQ, cfg)
+    b, _ = pipeline.process_buffer(raw, curves, state, ACQ, xla_cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_high_precision_prep_kernel(rng):
+    """The 3-pass split also covers the stages-1-3 fused prep kernel."""
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.CUBIC,
+                     windowing=True, dispersion=True,
+                     matmul_precision="high")
+    _compare(cfg, rng, atol=5e-2)
 
 
 @pytest.mark.parametrize("backend", ["pallas", "xla"])
