@@ -46,43 +46,60 @@ from ..params import AcqParams, ProcConfig
 
 
 def _precision(name: str):
-    """MXU pass count for float32 GEMMs (see ProcConfig.matmul_precision):
-    the MXU multiplies in bfloat16, so "default" float32 is bf16-grade;
-    "highest" emulates true float32 with 6 passes.
+    """Native XLA dot precision (see ProcConfig.matmul_precision): the MXU
+    multiplies in bfloat16, so "default" float32 is bf16-grade.
 
-    "high" never reaches this table on the Pallas/fold paths: Mosaic rejects
-    lax.Precision.HIGH ("Unsupported dot precision"), so the 3-pass
-    semantics are implemented manually via :func:`_split_bf16` +
-    :func:`_dot3` (bf16 hi/lo operand decomposition)."""
+    "high" and "highest" never reach this table on the fold paths: Mosaic
+    rejects lax.Precision.HIGH ("Unsupported dot precision") and the native
+    6-pass HIGHEST wedges the axon remote-compile tunnel, so both are
+    implemented manually via :func:`_split_bf16` + :func:`_dot_split`
+    (bf16 operand decomposition, 3 / 5 MXU passes)."""
     return {"default": jax.lax.Precision.DEFAULT,
             "high": jax.lax.Precision.HIGH,
             "highest": jax.lax.Precision.HIGHEST}[name]
 
 
-def _split_bf16(w):
-    """Decompose a float32 matrix into bf16 (hi, lo) with hi + lo == w up to
-    ~2^-17 relative: hi keeps the top 8 mantissa bits, lo the next 8."""
-    hi = w.astype(jnp.bfloat16)
-    lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+#: Operator split widths for the manual multi-pass GEMM emulation:
+#: "high" -> 2 bf16 parts (3 MXU passes), "highest" -> 3 parts (5 passes).
+_SPLIT_PARTS = {"high": 2, "highest": 3}
 
 
-def _dot3(x, w_hi, w_lo):
-    """float32-grade GEMM from THREE bf16 MXU passes (the manual form of
-    lax.Precision.HIGH, which Mosaic does not legalize):
+def _split_bf16(w, parts: int = 2):
+    """Decompose a float32 matrix into ``parts`` bf16 terms whose sum equals
+    w to ~8*parts mantissa bits (hi keeps the top 8 bits, each further part
+    the next 8)."""
+    out = []
+    rem = w
+    for _ in range(parts):
+        p = rem.astype(jnp.bfloat16)
+        out.append(p)
+        rem = rem - p.astype(jnp.float32)
+    return tuple(out)
 
-        x @ w ~= x_hi@w_hi + x_hi@w_lo + x_lo@w_hi     (f32 accumulation)
 
-    The dropped x_lo@w_lo term is ~2^-16 relative.  For the OCT decode path
-    x is integer-valued (<= 16-bit), so x == x_hi + x_lo exactly and the
-    only operand error is w's lo rounding.  3x the passes of "default" vs
-    6x for "highest" -- and unlike "highest" it is tunnel-safe (CLAUDE.md:
-    native HIGHEST wedges the axon remote-compile tunnel)."""
+def _dot_split(x, w_parts):
+    """float32-grade GEMM from bf16 MXU passes (the manual form of
+    lax.Precision.HIGH / HIGHEST, which Mosaic does not legalize / which
+    wedges the axon tunnel, CLAUDE.md):
+
+        x @ w ~= sum_j x_hi @ w_j  +  sum_{j<last} x_lo @ w_j
+
+    with f32 accumulation, smallest terms first.  x is split into two bf16
+    terms; for the OCT decode path x is integer-valued (<= 16-bit), so
+    x == x_hi + x_lo exactly and the only operand error is w's last-part
+    rounding plus the dropped lowest-order cross terms:
+
+      parts=2 ("high"):    3 passes, ~2^-16 relative  (vs 2^-8 for default)
+      parts=3 ("highest"): 5 passes, ~2^-24 relative  (true-f32 grade)
+    """
     x_hi = x.astype(jnp.bfloat16)
     x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    acc = jnp.dot(x_hi, w_lo, preferred_element_type=jnp.float32)
-    acc = acc + jnp.dot(x_lo, w_hi, preferred_element_type=jnp.float32)
-    return acc + jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32)
+    terms = [(x_hi, w) for w in w_parts] + [(x_lo, w) for w in w_parts[:-1]]
+    acc = None
+    for xa, wa in reversed(terms):  # low-order products first
+        t = jnp.dot(xa, wa, preferred_element_type=jnp.float32)
+        acc = t if acc is None else acc + t
+    return acc
 
 
 def build_prep_operator(
@@ -197,18 +214,20 @@ def _kernel_real(raw_ref, op_ref, out_ref, *, bit_depth: int, bitshift: bool,
                          precision=precision)
 
 
-def _kernel_phase_3p(raw_ref, ophi_ref, oplo_ref, cos_ref, sin_ref,
-                     re_ref, im_ref, *, bit_depth: int, bitshift: bool):
+def _kernel_phase_split(raw_ref, *refs, bit_depth: int, bitshift: bool,
+                        parts: int):
+    ops, (cos_ref, sin_ref, re_ref, im_ref) = refs[:parts], refs[parts:]
     x = _decode_block(raw_ref[:], bit_depth, bitshift)
-    y = _dot3(x, ophi_ref[:], oplo_ref[:])
+    y = _dot_split(x, [o[:] for o in ops])
     re_ref[:] = y * cos_ref[:]
     im_ref[:] = y * sin_ref[:]
 
 
-def _kernel_real_3p(raw_ref, ophi_ref, oplo_ref, out_ref,
-                    *, bit_depth: int, bitshift: bool):
+def _kernel_real_split(raw_ref, *refs, bit_depth: int, bitshift: bool,
+                       parts: int):
+    ops, (out_ref,) = refs[:parts], refs[parts:]
     x = _decode_block(raw_ref[:], bit_depth, bitshift)
-    out_ref[:] = _dot3(x, ophi_ref[:], oplo_ref[:])
+    out_ref[:] = _dot_split(x, [o[:] for o in ops])
 
 
 def _kernel_depth(raw_ref, wre_ref, wim_ref, re_ref, im_ref,
@@ -221,13 +240,16 @@ def _kernel_depth(raw_ref, wre_ref, wim_ref, re_ref, im_ref,
                         precision=precision)
 
 
-def _kernel_depth_3p(raw_ref, wre_hi_ref, wre_lo_ref, wim_hi_ref, wim_lo_ref,
-                     re_ref, im_ref, *, bit_depth: int, bitshift: bool):
-    """3-pass ("high") variant of _kernel_depth: f32-grade fidelity from
-    bf16 hi/lo operand splits (see _dot3)."""
+def _kernel_depth_split(raw_ref, *refs, bit_depth: int, bitshift: bool,
+                        parts: int):
+    """Multi-pass ("high"/"highest") variant of _kernel_depth: f32-grade
+    fidelity from bf16 operand splits (see _dot_split)."""
+    wre = refs[:parts]
+    wim = refs[parts:2 * parts]
+    re_ref, im_ref = refs[2 * parts:]
     x = _decode_block(raw_ref[:], bit_depth, bitshift)
-    re_ref[:] = _dot3(x, wre_hi_ref[:], wre_lo_ref[:])
-    im_ref[:] = _dot3(x, wim_hi_ref[:], wim_lo_ref[:])
+    re_ref[:] = _dot_split(x, [o[:] for o in wre])
+    im_ref[:] = _dot_split(x, [o[:] for o in wim])
 
 
 def _scale_affine(log_scaling: bool, half: int, gmin: float, gmax: float,
@@ -348,18 +370,20 @@ def _kernel_depth_scale(raw_ref, wre_ref, wim_ref, mean_ref, out_ref,
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _kernel_depth_scale_3p(raw_ref, wre_hi_ref, wre_lo_ref, wim_hi_ref,
-                           wim_lo_ref, mean_ref, out_ref, *, bit_depth: int,
-                           bitshift: bool, log_scaling: bool,
-                           a: float, b: float):
-    """3-pass ("high") variant of _kernel_depth_scale: the same single-pass
-    epilogue, but the two depth GEMMs run as bf16 hi/lo splits (_dot3) for
-    float32-grade fidelity at 3x the default-pass cost -- the Mosaic-safe
-    middle point between default (bf16-grade) and the 6-pass "highest"
-    (which wedges the axon tunnel, CLAUDE.md)."""
+def _kernel_depth_scale_split(raw_ref, *refs, bit_depth: int, bitshift: bool,
+                              log_scaling: bool, a: float, b: float,
+                              parts: int):
+    """Multi-pass ("high"/"highest") variant of _kernel_depth_scale: the
+    same single-pass epilogue, but the two depth GEMMs run as bf16 operand
+    splits (_dot_split) for float32-grade fidelity at 3x/5x the default-pass
+    cost -- the Mosaic-safe fidelity ladder (native HIGH is rejected by
+    Mosaic; native 6-pass HIGHEST wedges the axon tunnel, CLAUDE.md)."""
+    wre = refs[:parts]
+    wim = refs[parts:2 * parts]
+    mean_ref, out_ref = refs[2 * parts:]
     x = _decode_block(raw_ref[:], bit_depth, bitshift)
-    re = _dot3(x, wre_hi_ref[:], wre_lo_ref[:]) - mean_ref[0:1, :]
-    im = _dot3(x, wim_hi_ref[:], wim_lo_ref[:]) - mean_ref[1:2, :]
+    re = _dot_split(x, [o[:] for o in wre]) - mean_ref[0:1, :]
+    im = _dot_split(x, [o[:] for o in wim]) - mean_ref[1:2, :]
     p = re * re + im * im
     out = _scale_epilogue(p, log_scaling=log_scaling, a=a, b=b)
     out_ref[:] = out.astype(out_ref.dtype)
@@ -401,42 +425,45 @@ def _fused_prep_impl(raw2d, op, cos_row, sin_row, *, bit_depth: int,
         + op.size * 4 + 2 * n_lines * n_out * 4,
         transcendentals=0,
     )
-    if precision == "high":
-        op_hi, op_lo = _split_bf16(op)
-        cost3 = pl.CostEstimate(
-            flops=3 * 2 * n_lines * n_in * n_out,
+    parts = _SPLIT_PARTS.get(precision)
+    if parts:
+        op_parts = _split_bf16(op, parts)
+        cost_split = pl.CostEstimate(
+            flops=(2 * parts - 1) * 2 * n_lines * n_in * n_out,
             bytes_accessed=raw2d.size * raw2d.dtype.itemsize
-            + 2 * op.size * 2 + 2 * n_lines * n_out * 4,
+            + parts * op.size * 2 + 2 * n_lines * n_out * 4,
             transcendentals=0)
         if cos_row is not None:
             row_spec = pl.BlockSpec((1, n_out), lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)
-            kernel = functools.partial(_kernel_phase_3p, bit_depth=bit_depth,
-                                       bitshift=bitshift)
+            kernel = functools.partial(_kernel_phase_split,
+                                       bit_depth=bit_depth,
+                                       bitshift=bitshift, parts=parts)
             re, im = pl.pallas_call(
                 kernel,
                 grid=grid,
-                in_specs=[line_spec, op_spec, op_spec, row_spec, row_spec],
+                in_specs=[line_spec] + [op_spec] * parts
+                + [row_spec, row_spec],
                 out_specs=(out_spec, out_spec),
                 out_shape=(
                     jax.ShapeDtypeStruct((n_lines, n_out), jnp.float32),
                     jax.ShapeDtypeStruct((n_lines, n_out), jnp.float32),
                 ),
-                cost_estimate=cost3,
+                cost_estimate=cost_split,
                 interpret=interpret,
-            )(raw2d, op_hi, op_lo, cos_row, sin_row)
+            )(raw2d, *op_parts, cos_row, sin_row)
             return jax.lax.complex(re, im)
-        kernel = functools.partial(_kernel_real_3p, bit_depth=bit_depth,
-                                   bitshift=bitshift)
+        kernel = functools.partial(_kernel_real_split, bit_depth=bit_depth,
+                                   bitshift=bitshift, parts=parts)
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[line_spec, op_spec, op_spec],
+            in_specs=[line_spec] + [op_spec] * parts,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((n_lines, n_out), jnp.float32),
-            cost_estimate=cost3,
+            cost_estimate=cost_split,
             interpret=interpret,
-        )(raw2d, op_hi, op_lo)
+        )(raw2d, *op_parts)
     if cos_row is not None:
         row_spec = pl.BlockSpec((1, n_out), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
@@ -488,27 +515,28 @@ def _fused_depth_impl(raw2d, w_re, w_im, *, bit_depth: int, bitshift: bool,
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tile, half), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    if precision == "high" and compute_dtype != "bfloat16":
-        wre_hi, wre_lo = _split_bf16(w_re)
-        wim_hi, wim_lo = _split_bf16(w_im)
-        kernel = functools.partial(_kernel_depth_3p, bit_depth=bit_depth,
-                                   bitshift=bitshift)
+    parts = _SPLIT_PARTS.get(precision) if compute_dtype != "bfloat16" else None
+    if parts:
+        wre = _split_bf16(w_re, parts)
+        wim = _split_bf16(w_im, parts)
+        kernel = functools.partial(_kernel_depth_split, bit_depth=bit_depth,
+                                   bitshift=bitshift, parts=parts)
         re, im = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[line_spec, op_spec, op_spec, op_spec, op_spec],
+            in_specs=[line_spec] + [op_spec] * (2 * parts),
             out_specs=(out_spec, out_spec),
             out_shape=(
                 jax.ShapeDtypeStruct((n_lines, half), jnp.float32),
                 jax.ShapeDtypeStruct((n_lines, half), jnp.float32),
             ),
             cost_estimate=pl.CostEstimate(
-                flops=3 * 4 * n_lines * n_in * half,
+                flops=(2 * parts - 1) * 4 * n_lines * n_in * half,
                 bytes_accessed=raw2d.size * raw2d.dtype.itemsize
-                + 4 * n_in * half * 2 + 2 * n_lines * half * 4,
+                + 2 * parts * n_in * half * 2 + 2 * n_lines * half * 4,
                 transcendentals=0),
             interpret=interpret,
-        )(raw2d, wre_hi, wre_lo, wim_hi, wim_lo)
+        )(raw2d, *wre, *wim)
         return re, im
     kernel = functools.partial(_kernel_depth, bit_depth=bit_depth,
                                bitshift=bitshift, compute_dtype=cdt,
@@ -567,29 +595,31 @@ def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
     import os
 
     a, b = _scale_affine(log_scaling, half, gmin, gmax, addend, coeff)
-    if precision == "high" and compute_dtype != "bfloat16":
-        # f32-grade fidelity from 3 bf16 passes per GEMM (see _dot3); Mosaic
-        # cannot legalize lax.Precision.HIGH so the split is done by hand
-        wre_hi, wre_lo = _split_bf16(w_re)
-        wim_hi, wim_lo = _split_bf16(w_im)
+    parts = _SPLIT_PARTS.get(precision) if compute_dtype != "bfloat16" else None
+    if parts:
+        # f32-grade fidelity from 2*parts-1 bf16 passes per GEMM (see
+        # _dot_split); Mosaic cannot legalize lax.Precision.HIGH and the
+        # native 6-pass HIGHEST wedges the tunnel, so the split is by hand
+        wre = _split_bf16(w_re, parts)
+        wim = _split_bf16(w_im, parts)
         kernel = functools.partial(
-            _kernel_depth_scale_3p, bit_depth=bit_depth, bitshift=bitshift,
-            log_scaling=log_scaling, a=a, b=b)
+            _kernel_depth_scale_split, bit_depth=bit_depth,
+            bitshift=bitshift, log_scaling=log_scaling, a=a, b=b,
+            parts=parts)
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[line_spec, op_spec, op_spec, op_spec, op_spec,
-                      mean_spec],
+            in_specs=[line_spec] + [op_spec] * (2 * parts) + [mean_spec],
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((n_lines, half), odt),
             cost_estimate=pl.CostEstimate(
-                flops=3 * 4 * n_lines * n_in * half,
+                flops=(2 * parts - 1) * 4 * n_lines * n_in * half,
                 bytes_accessed=raw2d.size * raw2d.dtype.itemsize
-                + 4 * n_in * half * 2
+                + 2 * parts * n_in * half * 2
                 + n_lines * half * jnp.dtype(odt).itemsize,
                 transcendentals=n_lines * half if log_scaling else 0),
             interpret=interpret,
-        )(raw2d, wre_hi, wre_lo, wim_hi, wim_lo, mean2)
+        )(raw2d, *wre, *wim, mean2)
     if os.environ.get("OCTPROZ_FOLD_CONCAT"):
         # single-GEMM variant: one (n_in, 2*half) operator pass per tile
         w = jnp.concatenate([w_re, w_im], axis=1)
@@ -693,12 +723,15 @@ def fused_depth_transform(
             x = x.astype(jnp.bfloat16)
             depth_op_re = depth_op_re.astype(jnp.bfloat16)
             depth_op_im = depth_op_im.astype(jnp.bfloat16)
-        if (cfg.matmul_precision == "high"
-                and cfg.compute_dtype != "bfloat16"):
-            # same manual 3-pass split as the Pallas path, so "high" output
-            # is backend-independent (XLA's own HIGH lowering may differ)
-            re = _dot3(x, *_split_bf16(depth_op_re))
-            im = _dot3(x, *_split_bf16(depth_op_im))
+        parts = (_SPLIT_PARTS.get(cfg.matmul_precision)
+                 if cfg.compute_dtype != "bfloat16" else None)
+        if parts:
+            # same manual multi-pass split as the Pallas path, so "high"/
+            # "highest" output is backend-independent (XLA's own HIGH/
+            # HIGHEST lowerings differ per backend and HIGHEST wedges the
+            # axon tunnel)
+            re = _dot_split(x, _split_bf16(depth_op_re, parts))
+            im = _dot_split(x, _split_bf16(depth_op_im, parts))
         else:
             prec = _precision(cfg.matmul_precision)
             re = jnp.matmul(x, depth_op_re,

@@ -194,16 +194,16 @@ class ProcConfig:
     # Compute dtype of the spectral prep chain. float32 matches reference
     # numerics; bfloat16 trades PSNR for speed.
     compute_dtype: str = "float32"
-    # MXU precision for float32 GEMMs: "default" (one bf16 pass, fastest),
-    # "high" (3 passes), "highest" (6 passes, true-f32 accuracy).  The TPU
-    # MXU multiplies in bfloat16; "default" float32 is therefore bf16-grade
-    # accuracy (measured ~25 dB golden PSNR vs the float64 oracle on v5e),
-    # while "highest" restores the reference's fast-math-float32 fidelity.
-    # "high" is implemented MANUALLY on the fold paths as a bf16 hi/lo
-    # operand split (3 bf16 MXU passes, ~f32 fidelity; pallas/fused_prep
-    # _dot3) because Mosaic rejects lax.Precision.HIGH and the native
-    # 6-pass "highest" wedges the axon remote-compile tunnel (CLAUDE.md) --
-    # "high" is the recommended high-fidelity operating point on TPU.
+    # MXU precision ladder for float32 GEMMs.  The TPU MXU multiplies in
+    # bfloat16, so "default" float32 is bf16-grade accuracy (measured
+    # ~25 dB golden PSNR vs the float64 oracle on v5e).  On the fold paths
+    # "high" and "highest" are implemented MANUALLY as bf16 operand splits
+    # (pallas/fused_prep._dot_split) because Mosaic rejects
+    # lax.Precision.HIGH and the native 6-pass HIGHEST wedges the axon
+    # remote-compile tunnel (CLAUDE.md):
+    #   "default": 1 bf16 pass,  ~2^-8 relative   (fastest)
+    #   "high":    3 passes,     ~2^-16 relative
+    #   "highest": 5 passes,     ~2^-24 relative  (true-f32 grade)
     # Ignored when compute_dtype="bfloat16".
     matmul_precision: str = "default"
     # Run stages 1-3 as the single fused Pallas kernel (decode + folded

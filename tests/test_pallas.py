@@ -226,9 +226,9 @@ def test_fused_scale_epilogue_fpn_off(rng):
 @pytest.mark.parametrize("precision", ["default", "high", "highest"])
 def test_matmul_precision_knob_plumbs_through(rng, precision):
     """matmul_precision traces through every GEMM path.  On CPU "default"
-    and "highest" are exact float32, so they match bit-for-bit; "high" runs
-    the manual bf16x3 split on EVERY backend (backend-independent numerics)
-    and must agree to its ~2^-16 relative error bound instead."""
+    is exact float32; "high"/"highest" run the manual bf16 splits on EVERY
+    backend (backend-independent numerics) and must agree to their ~2^-16 /
+    ~2^-24 relative error bounds instead."""
     cfg = ProcConfig(resampling=True, interpolation=Interpolation.CUBIC,
                      windowing=True, dispersion=True, fpn_mode=FpnMode.OFF,
                      log_scaling=True, fft_via_matmul=True,
@@ -243,13 +243,14 @@ def test_matmul_precision_knob_plumbs_through(rng, precision):
                          "interpolation": cfg.interpolation,
                          "fpn_mode": cfg.fpn_mode})
     want, _ = pipeline.process_buffer(raw, curves, state, ACQ, base)
-    if precision == "high":
+    if precision == "default":
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+    else:
         w = np.clip(np.asarray(want, np.float64), 0, 1)
         g = np.clip(np.asarray(out, np.float64), 0, 1)
         psnr = 10 * np.log10(1.0 / max(float(np.mean((g - w) ** 2)), 1e-30))
-        assert psnr > 60.0, f"high-precision PSNR {psnr:.1f} dB"
-    else:
-        np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+        need = 60.0 if precision == "high" else 90.0
+        assert psnr > need, f"{precision} PSNR {psnr:.1f} dB (need {need})"
 
 
 def test_high_precision_fidelity_ladder(rng):
@@ -281,6 +282,45 @@ def test_high_precision_fidelity_ladder(rng):
     assert p_high > 60.0, f"high: {p_high:.1f} dB"
     assert p_high > p_bf16 + 15.0, (
         f"high ({p_high:.1f} dB) should clearly beat bf16 ({p_bf16:.1f} dB)")
+
+
+def test_precision_ladder_vs_float64_oracle(rng):
+    """Full fidelity ladder vs the float64 oracle with FPN OFF (the FPN
+    minimum-variance argmin is a chaotic discrete choice: near-tied segment
+    variances flip under ANY precision change, so it is excluded from the
+    precision measurement): bf16-grade < high (3-pass) < highest (5-pass),
+    with highest at true-f32 grade."""
+    import oracle
+
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.CUBIC,
+                     windowing=True, dispersion=True, fpn_mode=FpnMode.OFF,
+                     log_scaling=True, fft_via_matmul=True)
+    kw = dict(resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 10.0, -4.0),
+              dispersion_coeffs=(0.0, 0.0, 8.0, 0.0),
+              window_type=WindowType.HANNING)
+    cv = curves_mod.make_curves(ACQ, cfg, **kw)
+    raw = _raw(rng)
+    want, _ = oracle.full_pipeline(
+        raw, ACQ.bit_depth,
+        resample_curve=np.asarray(cv.resample_curve),
+        interpolation="cubic",
+        window=np.asarray(cv.window), phase=np.asarray(cv.phase),
+        log_scaling=True, gmin=cfg.grayscale_min, gmax=cfg.grayscale_max,
+        addend=cfg.addend, coeff=cfg.multiplicator)
+    ref = np.clip(np.asarray(want, np.float64), 0, 1)
+    state = pipeline.initial_fpn_state(ACQ)
+
+    def psnr(c):
+        got, _ = pipeline.process_buffer(jnp.asarray(raw), cv, state, ACQ, c)
+        g = np.clip(np.asarray(got, np.float64), 0, 1)
+        return 10 * np.log10(1.0 / max(float(np.mean((g - ref) ** 2)), 1e-30))
+
+    p_bf16 = psnr(dataclasses.replace(cfg, compute_dtype="bfloat16"))
+    p_high = psnr(dataclasses.replace(cfg, matmul_precision="high"))
+    p_highest = psnr(dataclasses.replace(cfg, matmul_precision="highest"))
+    assert p_high > p_bf16 + 10.0, f"{p_bf16:.1f} -> {p_high:.1f}"
+    assert p_highest > p_high + 10.0, f"{p_high:.1f} -> {p_highest:.1f}"
+    assert p_highest > 85.0, f"highest: {p_highest:.1f} dB"
 
 
 def test_high_precision_xla_backend_matches_pallas(rng):
