@@ -64,16 +64,33 @@ def _precision(name: str):
 _SPLIT_PARTS = {"high": 2, "highest": 3}
 
 
+def _bf16_trunc(v):
+    """The exactly-bf16-representable truncation of float32 v, computed by
+    MASKING the low 16 mantissa bits (bitcast + AND).
+
+    NOT written as ``v.astype(bf16).astype(f32)``: compilers may fold the
+    lossy cast round-trip back to ``v`` (measured on the TPU backend: the
+    cast-based residual collapsed to ~0 and the 3-pass split degenerated to
+    single-pass accuracy, 1.8e-3 vs the expected 4e-6).  An integer mask
+    cannot be elided.  Truncation (vs round-to-nearest) costs <1 bit in the
+    split's error bound."""
+    i = jax.lax.bitcast_convert_type(v.astype(jnp.float32), jnp.int32)
+    return jax.lax.bitcast_convert_type(
+        jax.lax.bitwise_and(i, jnp.int32(-65536)), jnp.float32)
+
+
 def _split_bf16(w, parts: int = 2):
     """Decompose a float32 matrix into ``parts`` bf16 terms whose sum equals
     w to ~8*parts mantissa bits (hi keeps the top 8 bits, each further part
-    the next 8)."""
+    the next 8).  Each term is exactly representable in bf16 (mask-based
+    truncation), so the f32->bf16 conversions below are value-preserving
+    and immune to cast folding."""
     out = []
     rem = w
-    for _ in range(parts):
-        p = rem.astype(jnp.bfloat16)
-        out.append(p)
-        rem = rem - p.astype(jnp.float32)
+    for k in range(parts):
+        p = _bf16_trunc(rem) if k < parts - 1 else rem
+        out.append(p.astype(jnp.bfloat16))
+        rem = rem - p
     return tuple(out)
 
 
@@ -92,8 +109,9 @@ def _dot_split(x, w_parts):
       parts=2 ("high"):    3 passes, ~2^-16 relative  (vs 2^-8 for default)
       parts=3 ("highest"): 5 passes, ~2^-24 relative  (true-f32 grade)
     """
-    x_hi = x.astype(jnp.bfloat16)
-    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    x_hi_f = _bf16_trunc(x)  # mask-based: immune to cast folding
+    x_hi = x_hi_f.astype(jnp.bfloat16)
+    x_lo = (x - x_hi_f).astype(jnp.bfloat16)
     terms = [(x_hi, w) for w in w_parts] + [(x_lo, w) for w in w_parts[:-1]]
     acc = None
     for xa, wa in reversed(terms):  # low-order products first

@@ -116,6 +116,25 @@ def _attempt() -> None:
                              cfg_pl.addend, cfg_pl.multiplicator)
     check("depth_scale", mag_p, mag_x)
 
+    # --- manual split-GEMM fidelity kernels (high = 3-pass, highest =
+    # 5-pass bf16 operand splits; Mosaic rejects native HIGH and native
+    # HIGHEST wedges the tunnel, so these are the Mosaic-safe ladder) ------
+    for prec in ("high", "highest"):
+        cfg_hp = dataclasses.replace(cfg_pl, matmul_precision=prec)
+        cfg_hx = dataclasses.replace(cfg_xla, matmul_precision=prec)
+        t0 = time.perf_counter()
+        mag_hp = fused_depth_scale(raw, curves.depth_op_re,
+                                   curves.depth_op_im, mean2, acq, cfg_hp,
+                                   interpret=False)
+        jax.block_until_ready(mag_hp)
+        timings[f"{prec}_compile_s"] = round(time.perf_counter() - t0, 1)
+        re_hx, im_hx = fused_depth_transform(raw, curves.depth_op_re,
+                                             curves.depth_op_im, acq, cfg_hx)
+        mag_hx = scale_log_planar(re_hx, im_hx, acq.output_ascan_length,
+                                  cfg_hp.grayscale_min, cfg_hp.grayscale_max,
+                                  cfg_hp.addend, cfg_hp.multiplicator)
+        check(f"depth_scale_{prec}", mag_hp, mag_hx)
+
     # --- stages-1-3 prep kernel: Mosaic GEMM vs XLA GEMM, SAME operator ----
     # Real path only (no dispersion phasor): this backend has no complex64
     # at all (CLAUDE.md), and the phasor variant's complex output feeds the
