@@ -87,6 +87,19 @@ def _add_proc_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--fft-matmul", action="store_true",
                    help="fold the whole pre-FPN chain incl. IFFT into one "
                         "complex GEMM (fastest on TPU)")
+    g.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="spectral-chain GEMM dtype (bfloat16 = fastest on "
+                        "TPU, identical accuracy to default-precision f32)")
+    g.add_argument("--matmul-precision",
+                   choices=["default", "high", "highest"], default="default",
+                   help="MXU fidelity ladder for float32 GEMMs: default = "
+                        "1 bf16 pass, high = 3-pass split (~2^-16 rel), "
+                        "highest = 5-pass split (true-f32 grade)")
+    g.add_argument("--output-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="stored magnitude volume dtype (bfloat16 halves "
+                        "write-back and host-transfer bytes)")
     g.add_argument("--settings", default=None,
                    help="INI settings file; CLI flags override its values")
     g.add_argument("--mesh", default=None, metavar="B[,A]",
@@ -120,6 +133,9 @@ def _build_config(args):
         post_background_offset=args.post_bg_offset,
         use_pallas_prep=args.fused_prep,
         fft_via_matmul=args.fft_matmul,
+        compute_dtype=args.compute_dtype,
+        matmul_precision=args.matmul_precision,
+        output_dtype=args.output_dtype,
     )
     klin = args.klin_coeffs or (0.0, float(args.samples - 1), 0.0, 0.0)
     model_kw = dict(

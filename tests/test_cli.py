@@ -51,6 +51,23 @@ def test_process_fused_matches_unfused(raw_file, tmp_path):
                                np.fromfile(b, np.float32), atol=5e-2)
 
 
+def test_process_precision_flags(raw_file, tmp_path):
+    """--matmul-precision / --compute-dtype / --output-dtype reach the
+    pipeline: the fidelity ladder stays close to the default output."""
+    path, n, asc, bsc = raw_file
+    a, b = tmp_path / "pa.raw", tmp_path / "pb.raw"
+    assert main(["process", path, *_geom(n, asc, bsc), "--fpn", "off",
+                 "--fft-matmul", "--output", str(a)]) == 0
+    assert main(["process", path, *_geom(n, asc, bsc), "--fpn", "off",
+                 "--fft-matmul", "--matmul-precision", "highest",
+                 "--output", str(b)]) == 0
+    np.testing.assert_allclose(np.fromfile(a, np.float32),
+                               np.fromfile(b, np.float32), atol=5e-2)
+    assert main(["process", path, *_geom(n, asc, bsc), "--fpn", "off",
+                 "--fft-matmul", "--compute-dtype", "bfloat16",
+                 "--output-dtype", "bfloat16", "--output", str(b)]) == 0
+
+
 def test_replay_reports_json(raw_file, capsys):
     path, n, asc, bsc = raw_file
     rc = main(["replay", path, *_geom(n, asc, bsc), "--fpn", "off",
