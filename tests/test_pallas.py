@@ -387,6 +387,41 @@ def test_output_dtype_bfloat16_unfused_path(rng):
     assert out.dtype == jnp.bfloat16
 
 
+def test_fused_scale_batch_matches_scan(rng):
+    """Batch-stream formulation (bench.py fold_backend="mega"): after FPN
+    determination the mean line is constant, so a STACK of buffers can run
+    as one fused_depth_scale call on the flattened line axis -- bit-level
+    equal to threading the per-buffer step (no lax.scan, no per-buffer
+    dynamic_slice feeding the opaque pallas_call)."""
+    from octproz_tpu.pallas.fused_prep import fused_depth_scale
+
+    cfg = ProcConfig(bitshift=True, resampling=True,
+                     interpolation=Interpolation.CUBIC, windowing=True,
+                     dispersion=True, fpn_mode=FpnMode.ONCE,
+                     bscans_for_noise=2, log_scaling=True,
+                     fft_via_matmul=True, fused_scale=True)
+    curves = curves_mod.make_curves(
+        ACQ, cfg, resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 10.0, -4.0),
+        dispersion_coeffs=(0.0, 0.0, 8.0, 0.0))
+    chunk = 3
+    raw_stack = jnp.asarray(np.stack([_raw(rng) for _ in range(chunk)]))
+    state = pipeline.initial_fpn_state(ACQ)
+    _, state = pipeline.process_buffer(raw_stack[0], curves, state, ACQ, cfg)
+    outs, st = [], state
+    for i in range(chunk):
+        o, st = pipeline.process_buffer(raw_stack[i], curves, st, ACQ, cfg)
+        outs.append(np.asarray(o))
+    mega = np.asarray(fused_depth_scale(raw_stack, curves.depth_op_re,
+                                        curves.depth_op_im, state.mean_line,
+                                        ACQ, cfg))
+    assert mega.shape == (chunk,) + outs[0].shape
+    for i in range(chunk):
+        a, b = outs[i], mega[i]
+        np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
+        fin = np.isfinite(a)
+        np.testing.assert_allclose(a[fin], b[fin], atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("env,val", [("OCTPROZ_FOLD_KSPLIT", "2"),
                                      ("OCTPROZ_FOLD_KSPLIT", "4"),
                                      ("OCTPROZ_FAST_LOG", "1")])
