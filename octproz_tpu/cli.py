@@ -177,6 +177,10 @@ def _apply_settings_file(args) -> None:
         if args.klin_coeffs is None and s.get("processing", "klin_coeffs"):
             args.klin_coeffs = [float(x) for x in
                                 s.get("processing", "klin_coeffs").split(",")]
+        for key in ("compute_dtype", "matmul_precision", "output_dtype"):
+            if getattr(args, key) == ("default" if key == "matmul_precision"
+                                      else "float32") and s.get("processing", key):
+                setattr(args, key, s.get("processing", key))
 
 
 def cmd_process(args) -> int:
