@@ -52,7 +52,8 @@ def _add_proc_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--background-removal", action="store_true")
     g.add_argument("--rolling-window", type=int, default=64)
     g.add_argument("--no-resampling", action="store_true")
-    g.add_argument("--interpolation", choices=["linear", "cubic", "lanczos"],
+    g.add_argument("--interpolation",
+                   choices=["linear", "quadratic", "cubic", "lanczos"],
                    default="cubic")
     g.add_argument("--klin-coeffs", type=float, nargs=4, default=None,
                    metavar=("C0", "C1", "C2", "C3"),
@@ -87,6 +88,24 @@ def _add_proc_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--fft-matmul", action="store_true",
                    help="fold the whole pre-FPN chain incl. IFFT into one "
                         "complex GEMM (fastest on TPU)")
+    g.add_argument("--fold-backend", choices=["pallas", "xla"],
+                   default="pallas",
+                   help="executor of the folded GEMM (with --fft-matmul): "
+                        "hand-fused Pallas kernel or plain-XLA matmuls")
+    g.add_argument("--no-fused-scale", action="store_true",
+                   help="disable the FPN+log epilogue fusion into the fold "
+                        "kernel (diagnostic; slower)")
+    g.add_argument("--fold-concat", action="store_true",
+                   help="run the (re|im) fold operators as ONE wide GEMM "
+                        "per tile instead of two")
+    g.add_argument("--fold-ksplit", type=int, default=1, metavar="K",
+                   help="split the fold contraction dim into K decode/GEMM "
+                        "chains (Mosaic decode/MXU overlap)")
+    g.add_argument("--fast-log", action="store_true",
+                   help="polynomial exponent-extraction log2 epilogue "
+                        "(fast-math analog; maps 0 to a finite floor)")
+    g.add_argument("--pallas-tile", type=int, default=0, metavar="LINES",
+                   help="cap lines per Pallas kernel tile (0 = auto)")
     g.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="spectral-chain GEMM dtype (bfloat16 = fastest on "
@@ -133,6 +152,12 @@ def _build_config(args):
         post_background_offset=args.post_bg_offset,
         use_pallas_prep=args.fused_prep,
         fft_via_matmul=args.fft_matmul,
+        fold_backend=args.fold_backend,
+        fused_scale=not args.no_fused_scale,
+        fold_concat=args.fold_concat,
+        fold_k_split=args.fold_ksplit,
+        fast_log=args.fast_log,
+        pallas_tile=args.pallas_tile,
         compute_dtype=args.compute_dtype,
         matmul_precision=args.matmul_precision,
         output_dtype=args.output_dtype,

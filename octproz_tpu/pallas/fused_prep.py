@@ -407,16 +407,14 @@ def _kernel_depth_scale_split(raw_ref, *refs, bit_depth: int, bitshift: bool,
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _pick_tile(n_lines: int, n_in: int = 1024) -> int:
+def _pick_tile(n_lines: int, n_in: int = 1024, max_tile: int = 0) -> int:
     """Lines per kernel tile.  512 at 1024-sample lines measured fastest on
     v5e (56.7 vs 56.3 MHz at 256; docs/performance.md) and keeps the tile
     operands within the ~16 MB VMEM with double buffering; the cap scales
     down with longer lines so the raw+decoded tile footprint stays constant.
-    OCTPROZ_PALLAS_TILE overrides for tuning (bench sweeps it)."""
-    import os
-
-    cap = max(64, 512 * 1024 // max(n_in, 1))
-    max_tile = int(os.environ.get("OCTPROZ_PALLAS_TILE", str(cap)))
+    ``max_tile`` (ProcConfig.pallas_tile) overrides the cap; 0 = auto."""
+    if max_tile <= 0:
+        max_tile = max(64, 512 * 1024 // max(n_in, 1))
     for tile in (1024, 512, 256, 128, 64, 32, 16, 8):
         if tile <= max_tile and n_lines % tile == 0:
             return tile
@@ -424,12 +422,14 @@ def _pick_tile(n_lines: int, n_in: int = 1024) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("bit_depth", "bitshift",
-                                              "precision", "interpret"))
+                                              "compute_dtype", "precision",
+                                              "max_tile", "interpret"))
 def _fused_prep_impl(raw2d, op, cos_row, sin_row, *, bit_depth: int,
-                     bitshift: bool, precision: str, interpret: bool):
+                     bitshift: bool, precision: str, interpret: bool,
+                     compute_dtype: str = "float32", max_tile: int = 0):
     n_lines, n_in = raw2d.shape
     n_out = op.shape[1]
-    tile = _pick_tile(n_lines, n_in)
+    tile = _pick_tile(n_lines, n_in, max_tile)
     grid = (n_lines // tile,)
     line_spec = pl.BlockSpec((tile, n_in), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -443,7 +443,10 @@ def _fused_prep_impl(raw2d, op, cos_row, sin_row, *, bit_depth: int,
         + op.size * 4 + 2 * n_lines * n_out * 4,
         transcendentals=0,
     )
-    parts = _SPLIT_PARTS.get(precision)
+    # matmul_precision is ignored with compute_dtype="bfloat16" (same gate as
+    # the depth paths): bf16 operands make the multi-pass split meaningless.
+    parts = (_SPLIT_PARTS.get(precision)
+             if compute_dtype != "bfloat16" else None)
     if parts:
         op_parts = _split_bf16(op, parts)
         cost_split = pl.CostEstimate(
@@ -517,12 +520,13 @@ def _fused_prep_impl(raw2d, op, cos_row, sin_row, *, bit_depth: int,
 
 @functools.partial(jax.jit, static_argnames=("bit_depth", "bitshift",
                                               "compute_dtype", "precision",
-                                              "interpret"))
+                                              "max_tile", "interpret"))
 def _fused_depth_impl(raw2d, w_re, w_im, *, bit_depth: int, bitshift: bool,
-                      compute_dtype: str, precision: str, interpret: bool):
+                      compute_dtype: str, precision: str, interpret: bool,
+                      max_tile: int = 0):
     n_lines, n_in = raw2d.shape
     half = w_re.shape[1]
-    tile = _pick_tile(n_lines, n_in)
+    tile = _pick_tile(n_lines, n_in, max_tile)
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     if compute_dtype == "bfloat16":
         w_re, w_im = w_re.astype(jnp.bfloat16), w_im.astype(jnp.bfloat16)
@@ -581,15 +585,18 @@ def _fused_depth_impl(raw2d, w_re, w_im, *, bit_depth: int, bitshift: bool,
 
 @functools.partial(jax.jit, static_argnames=(
     "bit_depth", "bitshift", "compute_dtype", "precision", "log_scaling",
-    "gmin", "gmax", "addend", "coeff", "output_dtype", "interpret"))
+    "gmin", "gmax", "addend", "coeff", "output_dtype", "interpret",
+    "fold_concat", "fast_log", "k_split", "max_tile"))
 def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
                             bitshift: bool, compute_dtype: str,
                             precision: str, log_scaling: bool, gmin: float,
                             gmax: float, addend: float, coeff: float,
-                            output_dtype: str, interpret: bool):
+                            output_dtype: str, interpret: bool,
+                            fold_concat: bool = False, fast_log: bool = False,
+                            k_split: int = 1, max_tile: int = 0):
     n_lines, n_in = raw2d.shape
     half = w_re.shape[1]
-    tile = _pick_tile(n_lines, n_in)
+    tile = _pick_tile(n_lines, n_in, max_tile)
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     odt = jnp.bfloat16 if output_dtype == "bfloat16" else jnp.float32
     if compute_dtype == "bfloat16":
@@ -610,8 +617,6 @@ def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
         + n_lines * half * jnp.dtype(odt).itemsize,
         transcendentals=n_lines * half if log_scaling else 0,
     )
-    import os
-
     a, b = _scale_affine(log_scaling, half, gmin, gmax, addend, coeff)
     parts = _SPLIT_PARTS.get(precision) if compute_dtype != "bfloat16" else None
     if parts:
@@ -638,7 +643,7 @@ def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
                 transcendentals=n_lines * half if log_scaling else 0),
             interpret=interpret,
         )(raw2d, *wre, *wim, mean2)
-    if os.environ.get("OCTPROZ_FOLD_CONCAT"):
+    if fold_concat:
         # single-GEMM variant: one (n_in, 2*half) operator pass per tile
         w = jnp.concatenate([w_re, w_im], axis=1)
         kernel = functools.partial(
@@ -662,8 +667,7 @@ def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
         _kernel_depth_scale, bit_depth=bit_depth, bitshift=bitshift,
         compute_dtype=cdt, precision=_precision(precision),
         log_scaling=log_scaling, a=a, b=b,
-        fast_log=bool(os.environ.get("OCTPROZ_FAST_LOG")),
-        k_split=int(os.environ.get("OCTPROZ_FOLD_KSPLIT", "1")))
+        fast_log=fast_log, k_split=k_split)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -706,6 +710,8 @@ def fused_depth_scale(
         log_scaling=cfg.log_scaling,
         gmin=cfg.grayscale_min, gmax=cfg.grayscale_max, addend=cfg.addend,
         coeff=cfg.multiplicator, output_dtype=cfg.output_dtype,
+        fold_concat=cfg.fold_concat, fast_log=cfg.fast_log,
+        k_split=cfg.fold_k_split, max_tile=cfg.pallas_tile,
         interpret=interpret)
     return mag.reshape(*lead_shape, mag.shape[-1])
 
@@ -763,6 +769,7 @@ def fused_depth_transform(
                                    bit_depth=acq.bit_depth, bitshift=cfg.bitshift,
                                    compute_dtype=cfg.compute_dtype,
                                    precision=cfg.matmul_precision,
+                                   max_tile=cfg.pallas_tile,
                                    interpret=interpret)
     half = re.shape[-1]
     return re.reshape(*lead_shape, half), im.reshape(*lead_shape, half)
@@ -799,5 +806,7 @@ def fused_prep(
     out = _fused_prep_impl(raw2d, prep_operator, cos_row, sin_row,
                            bit_depth=acq.bit_depth, bitshift=cfg.bitshift,
                            precision=cfg.matmul_precision,
+                           compute_dtype=cfg.compute_dtype,
+                           max_tile=cfg.pallas_tile,
                            interpret=interpret)
     return out.reshape(*lead_shape, out.shape[-1])

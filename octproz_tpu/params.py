@@ -218,6 +218,25 @@ class ProcConfig:
     # Execution backend for the folded GEMM: "pallas" (hand-fused kernel) or
     # "xla" (plain jnp matmuls; XLA fuses the decode into the GEMM operand).
     fold_backend: str = "pallas"
+    # --- fold-kernel tuning knobs (hashed config fields, so two configs that
+    #     compile different kernels never collide in the jit cache; hardware
+    #     sweep results in docs/performance.md -- all within noise of the
+    #     defaults on v5e, kept as tunables for other geometries) ---
+    # Concatenate the (re | im) depth operators along the output axis so the
+    # MXU runs ONE (tile, n_in) x (n_in, 2*half) pass per tile instead of two
+    # half-width ones.
+    fold_concat: bool = False
+    # Split the contraction dim into this many independent decode->partial-
+    # GEMM chains so Mosaic can overlap the VPU integer decode of chunk j+1
+    # with the MXU pass of chunk j.  1 = no split.
+    fold_k_split: int = 1
+    # Exponent-extraction polynomial log2 instead of the transcendental
+    # log10 in the scale epilogue (the analog of the reference's
+    # --use_fast_math, octproz/pri/cuda.pri:66-71).  Maps p == 0 to a finite
+    # ~-127-grade value where the exact epilogue yields -inf.
+    fast_log: bool = False
+    # Upper bound on lines per Pallas kernel tile; 0 = auto (VMEM-scaled).
+    pallas_tile: int = 0
     # Fuse the FPN mean-line subtraction + log/lin dynamic-range scaling into
     # the folded-GEMM kernel's epilogue (fold_backend="pallas", FPN off/once
     # only): the planar (re, im) depth volumes then never reach HBM.  The
@@ -237,8 +256,19 @@ class ProcConfig:
             raise ValueError("rolling_average_window must be >= 1")
         if self.bscans_for_noise < 1:
             raise ValueError("bscans_for_noise must be >= 1")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError("compute_dtype must be 'float32' or 'bfloat16'")
+        if self.matmul_precision not in ("default", "high", "highest"):
+            raise ValueError(
+                "matmul_precision must be 'default', 'high' or 'highest'")
+        if self.fold_backend not in ("pallas", "xla"):
+            raise ValueError("fold_backend must be 'pallas' or 'xla'")
         if self.output_dtype not in ("float32", "bfloat16"):
             raise ValueError("output_dtype must be 'float32' or 'bfloat16'")
+        if self.fold_k_split < 1:
+            raise ValueError("fold_k_split must be >= 1")
+        if self.pallas_tile < 0:
+            raise ValueError("pallas_tile must be >= 0 (0 = auto)")
 
 
 def default_full_config() -> ProcConfig:

@@ -143,17 +143,31 @@ def process_buffer(
     state)."""
     half = acq.output_ascan_length
 
+    # Stages 7-9 interpolate/subtract on the magnitude volume; with
+    # output_dtype="bfloat16" that arithmetic must still run in float32
+    # (the narrowing is a *storage* decision), so the narrow happens AFTER
+    # postprocess_volume whenever any of those stages is enabled.
+    has_post = (cfg.bscan_flip or cfg.sinusoidal_correction
+                or cfg.post_background_removal)
+
     def narrow(mag):
         # cfg.output_dtype: arithmetic stays float32; only the stored volume
-        # is narrowed (the fused kernel already writes this dtype directly).
-        if cfg.output_dtype == "bfloat16":
+        # is narrowed (the fused kernel writes this dtype directly when no
+        # post-stage follows it).
+        if cfg.output_dtype == "bfloat16" and mag.dtype != jnp.bfloat16:
             return mag.astype(jnp.bfloat16)
         return mag
 
     if cfg.fft_via_matmul:
         # fully planar path: no complex64 anywhere (runs on TPU backends
         # without complex support)
+        import dataclasses as _dc
+
         from .pallas.fused_prep import fused_depth_scale, fused_depth_transform
+
+        # the kernel's store dtype: float32 while post-stages still consume it
+        kcfg = (_dc.replace(cfg, output_dtype="float32")
+                if has_post and cfg.output_dtype == "bfloat16" else cfg)
 
         def unfused(state):
             z_re, z_im = fused_depth_transform(raw, curves.depth_op_re,
@@ -165,7 +179,9 @@ def process_buffer(
                      else postprocess.scale_lin_planar)
             mag = scale(z_re, z_im, half, cfg.grayscale_min,
                         cfg.grayscale_max, cfg.addend, cfg.multiplicator)
-            return narrow(mag), state
+            if not has_post:
+                mag = narrow(mag)
+            return mag, state
 
         # Steady-state hot path: GEMM + FPN subtraction + dynamic-range
         # scaling in one VMEM pass -- the planar (re, im) volumes never
@@ -182,7 +198,7 @@ def process_buffer(
                         if cfg.fpn_mode == FpnMode.OFF else state.mean_line)
                 mag = fused_depth_scale(raw, curves.depth_op_re,
                                         curves.depth_op_im, mean,
-                                        acq, cfg)
+                                        acq, kcfg)
                 return mag, state
 
             if cfg.fpn_mode == FpnMode.OFF:
@@ -192,7 +208,7 @@ def process_buffer(
                                               unfused, fpn_state)
         else:
             mag, fpn_state = unfused(fpn_state)
-        return postprocess_volume(mag, curves, cfg), fpn_state
+        return narrow(postprocess_volume(mag, curves, cfg)), fpn_state
 
     spectra = prep_spectra(raw, curves, acq, cfg)
     z_half = transform_to_depth(spectra, half)
@@ -207,7 +223,7 @@ def process_buffer(
         mag = postprocess.scale_lin(z_half, half, cfg.grayscale_min,
                                     cfg.grayscale_max, cfg.addend, cfg.multiplicator)
 
-    return postprocess_volume(narrow(mag), curves, cfg), fpn_state
+    return narrow(postprocess_volume(mag, curves, cfg)), fpn_state
 
 
 @functools.lru_cache(maxsize=64)

@@ -7,7 +7,9 @@
 #
 #   bash scripts/tpu_experiments.sh [logfile] [spec...]
 #
-# Each spec is NAME=ENVS,SPEC e.g. "concat32=OCTPROZ_FOLD_CONCAT=1,pallas:32:bfloat16"
+# Each spec is NAME=ENVS,SPEC where ENVS sets kernel knobs via
+# OCTPROZ_BENCH_CFG (space-free single-key JSON of ProcConfig overrides),
+# e.g. 'concat32=OCTPROZ_BENCH_CFG={"fold_concat":true},pallas:32:bfloat16'.
 # With no specs, runs the default matrix.  One process at a time on the
 # tunnel -- do not run concurrently with any other TPU user.
 set -u
@@ -65,11 +67,11 @@ run_one() {  # "name=ENV1=V1 ENV2=V2,spec"
 
 DEFAULT_MATRIX=(
   "base32=pallas:32:bfloat16"
-  "concat16=OCTPROZ_FOLD_CONCAT=1,pallas:16:bfloat16"
-  "concat32=OCTPROZ_FOLD_CONCAT=1,pallas:32:bfloat16"
-  "tile512=OCTPROZ_PALLAS_TILE=512,pallas:16:bfloat16"
+  'concat16=OCTPROZ_BENCH_CFG={"fold_concat":true},pallas:16:bfloat16'
+  'concat32=OCTPROZ_BENCH_CFG={"fold_concat":true},pallas:32:bfloat16'
+  'tile512=OCTPROZ_BENCH_CFG={"pallas_tile":512},pallas:16:bfloat16'
   "out16=pallas:16:bfloat16:default:bfloat16"
-  "out16cc=OCTPROZ_FOLD_CONCAT=1,pallas:16:bfloat16:default:bfloat16"
+  'out16cc=OCTPROZ_BENCH_CFG={"fold_concat":true},pallas:16:bfloat16:default:bfloat16'
   "xla16=xla:16:bfloat16"
 )
 

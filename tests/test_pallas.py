@@ -422,16 +422,21 @@ def test_fused_scale_batch_matches_scan(rng):
         np.testing.assert_allclose(a[fin], b[fin], atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("env,val", [("OCTPROZ_FOLD_KSPLIT", "2"),
-                                     ("OCTPROZ_FOLD_KSPLIT", "4"),
-                                     ("OCTPROZ_FAST_LOG", "1")])
-def test_scale_kernel_tuning_variants_match(rng, env, val, monkeypatch):
-    """Env-gated kernel tuning variants (K-split decode/GEMM overlap,
-    fast-log2 epilogue) must stay within display-grade agreement of the
-    default kernel (the fast-log analog of the reference's --use_fast_math,
+@pytest.mark.parametrize("knobs", [dict(fold_k_split=2),
+                                   dict(fold_k_split=4),
+                                   dict(fast_log=True),
+                                   dict(fold_concat=True),
+                                   dict(pallas_tile=128)])
+def test_scale_kernel_tuning_variants_match(rng, knobs):
+    """Kernel tuning variants (K-split decode/GEMM overlap, fast-log2
+    epilogue, re|im concat, tile cap) are hashed ProcConfig fields -- two
+    configs that compile different kernels never collide in the jit cache --
+    and must stay within display-grade agreement of the default kernel (the
+    fast-log analog of the reference's --use_fast_math,
     octproz/pri/cuda.pri:66-71)."""
     import importlib
     fp = importlib.import_module("octproz_tpu.pallas.fused_prep")
+
     cfg = ProcConfig(bitshift=True, resampling=True,
                      interpolation=Interpolation.CUBIC,
                      windowing=True, dispersion=True, fpn_mode=FpnMode.OFF,
@@ -442,20 +447,49 @@ def test_scale_kernel_tuning_variants_match(rng, env, val, monkeypatch):
     raw = jnp.asarray(_raw(rng))
     mean2 = jnp.zeros((2, ACQ.output_ascan_length), jnp.float32)
 
-    def run():
-        fp._fused_depth_scale_impl.clear_cache()
+    def run(c):
         return np.asarray(fp.fused_depth_scale(
-            raw, curves.depth_op_re, curves.depth_op_im, mean2, ACQ, cfg,
+            raw, curves.depth_op_re, curves.depth_op_im, mean2, ACQ, c,
             interpret=True), np.float64)
 
-    base = run()
-    monkeypatch.setenv(env, val)
-    got = run()
-    monkeypatch.delenv(env)
-    fp._fused_depth_scale_impl.clear_cache()  # don't leak the variant trace
+    base = run(cfg)
+    got = run(dataclasses.replace(cfg, **knobs))
     np.testing.assert_array_equal(np.isfinite(base), np.isfinite(got))
     fin = np.isfinite(base)
     rng_ = base[fin].max() - base[fin].min()
     mse = float(np.mean((got[fin] - base[fin]) ** 2))
     psnr = 10 * np.log10(rng_ ** 2 / max(mse, 1e-30))
-    assert psnr > 60.0, f"{env}={val}: PSNR {psnr:.1f} dB"
+    assert psnr > 60.0, f"{knobs}: PSNR {psnr:.1f} dB"
+
+
+def test_invalid_config_values_raise():
+    """fold_backend and the ladder/knob fields are validated at config
+    construction (not at trace time)."""
+    for bad in (dict(fold_backend="mega"), dict(compute_dtype="float16"),
+                dict(matmul_precision="hi"), dict(output_dtype="int8"),
+                dict(fold_k_split=0), dict(pallas_tile=-1)):
+        with pytest.raises(ValueError):
+            ProcConfig(**bad)
+
+
+def test_output_dtype_bfloat16_postprocess_runs_float32(rng):
+    """With post-stages enabled (flip/sinusoidal/post-bg) the bf16 narrowing
+    happens AFTER postprocess_volume: the result equals the float32 path's
+    post-processed volume narrowed once at the end (ADVICE r2)."""
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.CUBIC,
+                     windowing=True, dispersion=True, fpn_mode=FpnMode.OFF,
+                     log_scaling=True, fft_via_matmul=True,
+                     sinusoidal_correction=True, bscan_flip=True,
+                     output_dtype="bfloat16")
+    f32 = dataclasses.replace(cfg, output_dtype="float32")
+    curves = curves_mod.make_curves(
+        ACQ, cfg, resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 10.0, -4.0),
+        dispersion_coeffs=(0.0, 0.0, 8.0, 0.0))
+    raw = jnp.asarray(_raw(rng))
+    state = pipeline.initial_fpn_state(ACQ)
+    got, _ = pipeline.process_buffer(raw, curves, state, ACQ, cfg)
+    want, _ = pipeline.process_buffer(raw, curves, state, ACQ, f32)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want.astype(jnp.bfloat16),
+                                             np.float32))
