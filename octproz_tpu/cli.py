@@ -13,8 +13,13 @@ Commands:
   replay   streaming: replay a file through the runtime engine at a given
            rate with live throughput metrics (Virtual OCT System analog)
   render   render a processed volume file with one of the 7 3D modes
+  compare  PSNR/SSIM fidelity harness vs a reference volume
+  settings show / save the full INI settings surface (sidebar.h:44-96 keys)
   bench    the headline benchmark (same as bench.py)
   info     device + version report (GpuInfo analog)
+
+Flag resolution: built-in defaults < --settings file values < explicit CLI
+flags (argparse.SUPPRESS defaults make "explicitly passed" exact).
 """
 
 from __future__ import annotations
@@ -29,152 +34,236 @@ from typing import Optional
 import numpy as np
 
 
+#: CLI flag -> AcqParams field (geometry may come from the flags OR from a
+#: settings file's [acquisition] group; flags win)
+_ACQ_FLAGS = {
+    "samples": "samples_per_line",
+    "ascans": "ascans_per_bscan",
+    "bscans": "bscans_per_buffer",
+    "buffers_per_volume": "buffers_per_volume",
+    "bit_depth": "bit_depth",
+}
+
+#: CLI flag -> ProcConfig field, value taken as-is
+_CFG_FLAGS = {
+    "bitshift": "bitshift",
+    "background_removal": "background_removal",
+    "rolling_window": "rolling_average_window",
+    "grayscale_min": "grayscale_min",
+    "grayscale_max": "grayscale_max",
+    "scale_coeff": "multiplicator",
+    "scale_addend": "addend",
+    "fpn_bscans": "bscans_for_noise",
+    "bscan_flip": "bscan_flip",
+    "sinusoidal_correction": "sinusoidal_correction",
+    "post_background_removal": "post_background_removal",
+    "post_bg_weight": "post_background_weight",
+    "post_bg_offset": "post_background_offset",
+    "fused_prep": "use_pallas_prep",
+    "fft_matmul": "fft_via_matmul",
+    "fold_backend": "fold_backend",
+    "fold_concat": "fold_concat",
+    "fold_ksplit": "fold_k_split",
+    "fast_log": "fast_log",
+    "pallas_tile": "pallas_tile",
+    "compute_dtype": "compute_dtype",
+    "matmul_precision": "matmul_precision",
+    "output_dtype": "output_dtype",
+}
+
+#: negated CLI flag -> ProcConfig field it disables
+_CFG_INVERT = {
+    "no_resampling": "resampling",
+    "no_windowing": "windowing",
+    "no_dispersion": "dispersion",
+    "lin_scaling": "log_scaling",
+    "no_fused_scale": "fused_scale",
+}
+
+_S = argparse.SUPPRESS  # absent attr == "user did not pass the flag"
+
+
 def _add_acq_args(p: argparse.ArgumentParser) -> None:
-    g = p.add_argument_group("acquisition geometry")
-    g.add_argument("--samples", type=int, required=True,
+    g = p.add_argument_group(
+        "acquisition geometry (flags override a --settings file)")
+    g.add_argument("--samples", type=int, default=_S,
                    help="samples per A-scan (raw line length)")
-    g.add_argument("--ascans", type=int, required=True, help="A-scans per B-scan")
-    g.add_argument("--bscans", type=int, required=True, help="B-scans per buffer")
-    g.add_argument("--buffers-per-volume", type=int, default=1)
-    g.add_argument("--bit-depth", type=int, default=12)
-    g.add_argument("--packed-12bit", action="store_true",
+    g.add_argument("--ascans", type=int, default=_S, help="A-scans per B-scan")
+    g.add_argument("--bscans", type=int, default=_S, help="B-scans per buffer")
+    g.add_argument("--buffers-per-volume", type=int, default=_S)
+    g.add_argument("--bit-depth", type=int, default=_S)
+    g.add_argument("--packed-12bit", action="store_true", default=_S,
                    help="input file holds 12-bit packed samples (2 per 3 bytes)")
-    g.add_argument("--big-endian", action="store_true",
+    g.add_argument("--big-endian", action="store_true", default=_S,
                    help="input samples are big-endian (byte-swapped on load)")
-    g.add_argument("--stream-from-disk", action="store_true",
+    g.add_argument("--stream-from-disk", action="store_true", default=_S,
                    help="do not preload the file into RAM (huge files)")
 
 
 def _add_proc_args(p: argparse.ArgumentParser) -> None:
-    g = p.add_argument_group("processing (sidebar.cpp:319-337 analog)")
-    g.add_argument("--bitshift", action="store_true",
+    g = p.add_argument_group(
+        "processing (sidebar.cpp:319-337 analog; flags override a "
+        "--settings file, whose values override the built-in defaults)")
+    g.add_argument("--bitshift", action="store_true", default=_S,
                    help="right-shift 16-bit containers by 4 (12-in-16 digitizers)")
-    g.add_argument("--background-removal", action="store_true")
-    g.add_argument("--rolling-window", type=int, default=64)
-    g.add_argument("--no-resampling", action="store_true")
+    g.add_argument("--background-removal", action="store_true", default=_S)
+    g.add_argument("--rolling-window", type=int, default=_S)
+    g.add_argument("--no-resampling", action="store_true", default=_S)
     g.add_argument("--interpolation",
                    choices=["linear", "quadratic", "cubic", "lanczos"],
-                   default="cubic")
-    g.add_argument("--klin-coeffs", type=float, nargs=4, default=None,
+                   default=_S)
+    g.add_argument("--klin-coeffs", type=float, nargs=4, default=_S,
                    metavar=("C0", "C1", "C2", "C3"),
                    help="resampling polynomial; default identity (0, N-1, 0, 0)")
-    g.add_argument("--klin-curve-csv", default=None,
+    g.add_argument("--klin-curve-csv", default=_S,
                    help="custom resampling curve CSV (index;value), e.g. from "
                         "extensions.extract_klin_curve")
-    g.add_argument("--no-windowing", action="store_true")
+    g.add_argument("--no-windowing", action="store_true", default=_S)
     g.add_argument("--window-type", choices=["hanning", "gauss", "sine",
-                                             "lanczos", "rectangular", "flattop"],
-                   default="hanning")
-    g.add_argument("--window-center", type=float, default=0.5)
-    g.add_argument("--window-fill", type=float, default=1.0)
-    g.add_argument("--no-dispersion", action="store_true")
-    g.add_argument("--disp-coeffs", type=float, nargs=4, default=(0, 0, 0, 0),
+                                             "lanczos", "rectangular",
+                                             "flattop", "taylor"],
+                   default=_S)
+    g.add_argument("--window-center", type=float, default=_S)
+    g.add_argument("--window-fill", type=float, default=_S)
+    g.add_argument("--no-dispersion", action="store_true", default=_S)
+    g.add_argument("--disp-coeffs", type=float, nargs=4, default=_S,
                    metavar=("D0", "D1", "D2", "D3"))
-    g.add_argument("--fpn", choices=["off", "once", "continuous"], default="off")
-    g.add_argument("--lin-scaling", action="store_true",
+    g.add_argument("--fpn", choices=["off", "once", "continuous"], default=_S)
+    g.add_argument("--fpn-bscans", type=int, default=_S, metavar="N",
+                   help="B-scans used for fixed-pattern-noise determination")
+    g.add_argument("--lin-scaling", action="store_true", default=_S,
                    help="linear instead of logarithmic dynamic-range scaling")
-    g.add_argument("--grayscale-min", type=float, default=0.0)
-    g.add_argument("--grayscale-max", type=float, default=60.0)
-    g.add_argument("--bscan-flip", action="store_true")
-    g.add_argument("--sinusoidal-correction", action="store_true")
-    g.add_argument("--post-background-removal", action="store_true",
+    g.add_argument("--grayscale-min", type=float, default=_S)
+    g.add_argument("--grayscale-max", type=float, default=_S)
+    g.add_argument("--scale-coeff", type=float, default=_S,
+                   help="dynamic-range multiplicator (PROC_COEFF)")
+    g.add_argument("--scale-addend", type=float, default=_S,
+                   help="dynamic-range addend (PROC_ADDEND)")
+    g.add_argument("--bscan-flip", action="store_true", default=_S)
+    g.add_argument("--sinusoidal-correction", action="store_true", default=_S)
+    g.add_argument("--post-background-removal", action="store_true", default=_S,
                    help="subtract the post-process background curve "
                         "(cuda_code.cu:757-767); record it live with "
                         "'replay --record-background N'")
-    g.add_argument("--post-bg-weight", type=float, default=1.0)
-    g.add_argument("--post-bg-offset", type=float, default=0.0)
-    g.add_argument("--fused-prep", action="store_true",
+    g.add_argument("--post-bg-weight", type=float, default=_S)
+    g.add_argument("--post-bg-offset", type=float, default=_S)
+    g.add_argument("--fused-prep", action="store_true", default=_S,
                    help="use the fused Pallas prep kernel")
-    g.add_argument("--fft-matmul", action="store_true",
+    g.add_argument("--fft-matmul", action="store_true", default=_S,
                    help="fold the whole pre-FPN chain incl. IFFT into one "
                         "complex GEMM (fastest on TPU)")
-    g.add_argument("--fold-backend", choices=["pallas", "xla"],
-                   default="pallas",
+    g.add_argument("--fold-backend", choices=["pallas", "xla"], default=_S,
                    help="executor of the folded GEMM (with --fft-matmul): "
                         "hand-fused Pallas kernel or plain-XLA matmuls")
-    g.add_argument("--no-fused-scale", action="store_true",
+    g.add_argument("--no-fused-scale", action="store_true", default=_S,
                    help="disable the FPN+log epilogue fusion into the fold "
                         "kernel (diagnostic; slower)")
-    g.add_argument("--fold-concat", action="store_true",
+    g.add_argument("--fold-concat", action="store_true", default=_S,
                    help="run the (re|im) fold operators as ONE wide GEMM "
                         "per tile instead of two")
-    g.add_argument("--fold-ksplit", type=int, default=1, metavar="K",
+    g.add_argument("--fold-ksplit", type=int, default=_S, metavar="K",
                    help="split the fold contraction dim into K decode/GEMM "
                         "chains (Mosaic decode/MXU overlap)")
-    g.add_argument("--fast-log", action="store_true",
+    g.add_argument("--fast-log", action="store_true", default=_S,
                    help="polynomial exponent-extraction log2 epilogue "
                         "(fast-math analog; maps 0 to a finite floor)")
-    g.add_argument("--pallas-tile", type=int, default=0, metavar="LINES",
+    g.add_argument("--pallas-tile", type=int, default=_S, metavar="LINES",
                    help="cap lines per Pallas kernel tile (0 = auto)")
     g.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
-                   default="float32",
+                   default=_S,
                    help="spectral-chain GEMM dtype (bfloat16 = fastest on "
                         "TPU, identical accuracy to default-precision f32)")
     g.add_argument("--matmul-precision",
-                   choices=["default", "high", "highest"], default="default",
+                   choices=["default", "high", "highest"], default=_S,
                    help="MXU fidelity ladder for float32 GEMMs: default = "
                         "1 bf16 pass, high = 3-pass split (~2^-16 rel), "
                         "highest = 5-pass split (true-f32 grade)")
     g.add_argument("--output-dtype", choices=["float32", "bfloat16"],
-                   default="float32",
+                   default=_S,
                    help="stored magnitude volume dtype (bfloat16 halves "
                         "write-back and host-transfer bytes)")
     g.add_argument("--settings", default=None,
-                   help="INI settings file; CLI flags override its values")
+                   help="INI settings file applying every [acquisition]/"
+                        "[processing]/[tpu]/[streaming]/[record] key; "
+                        "explicit CLI flags override its values")
     g.add_argument("--mesh", default=None, metavar="B[,A]",
                    help="shard the step over a (bscan, ascan) device mesh, "
                         "e.g. --mesh 4 or --mesh 4,2 (parallel/sharding.py)")
 
 
-def _build_config(args):
-    from .params import AcqParams, FpnMode, Interpolation, ProcConfig, WindowType
+def _load_bundle(args):
+    """The parsed settings file (or an empty bundle without --settings)."""
+    from .utils.configmap import SettingsBundle, from_settings
 
-    acq = AcqParams(samples_per_line=args.samples, ascans_per_bscan=args.ascans,
-                    bscans_per_buffer=args.bscans,
-                    buffers_per_volume=args.buffers_per_volume,
-                    bit_depth=args.bit_depth)
-    cfg = ProcConfig(
-        bitshift=args.bitshift,
-        background_removal=args.background_removal,
-        rolling_average_window=args.rolling_window,
-        resampling=not args.no_resampling,
-        interpolation=Interpolation(args.interpolation),
-        windowing=not args.no_windowing,
-        dispersion=not args.no_dispersion,
-        fpn_mode=FpnMode(args.fpn),
-        log_scaling=not args.lin_scaling,
-        grayscale_min=args.grayscale_min,
-        grayscale_max=args.grayscale_max,
-        bscan_flip=args.bscan_flip,
-        sinusoidal_correction=args.sinusoidal_correction,
-        post_background_removal=args.post_background_removal,
-        post_background_weight=args.post_bg_weight,
-        post_background_offset=args.post_bg_offset,
-        use_pallas_prep=args.fused_prep,
-        fft_via_matmul=args.fft_matmul,
-        fold_backend=args.fold_backend,
-        fused_scale=not args.no_fused_scale,
-        fold_concat=args.fold_concat,
-        fold_k_split=args.fold_ksplit,
-        fast_log=args.fast_log,
-        pallas_tile=args.pallas_tile,
-        compute_dtype=args.compute_dtype,
-        matmul_precision=args.matmul_precision,
-        output_dtype=args.output_dtype,
-    )
-    klin = args.klin_coeffs or (0.0, float(args.samples - 1), 0.0, 0.0)
+    if not getattr(args, "settings", None):
+        return SettingsBundle()
+    from .utils.settings import SettingsManager
+
+    return from_settings(SettingsManager(args.settings))
+
+
+def _build_config(args, bundle=None):
+    """Resolve (AcqParams, ProcConfig, model kwargs): built-in defaults,
+    overlaid with every recognized settings-file key, overlaid with the CLI
+    flags the user actually passed (argparse.SUPPRESS defaults make the
+    'actually passed' set exact)."""
+    from .params import FpnMode, Interpolation, WindowType
+    from .utils import configmap
+
+    bundle = _load_bundle(args) if bundle is None else bundle
+    a = vars(args)
+
+    acq_over = {field: a[flag] for flag, field in _ACQ_FLAGS.items()
+                if flag in a}
+    cfg_over = {field: a[flag] for flag, field in _CFG_FLAGS.items()
+                if flag in a}
+    for flag, field in _CFG_INVERT.items():
+        if flag in a:
+            cfg_over[field] = not a[flag]
+    if "interpolation" in a:
+        cfg_over["interpolation"] = Interpolation(a["interpolation"])
+    if "fpn" in a:
+        cfg_over["fpn_mode"] = FpnMode(a["fpn"])
+
+    acq_kw = dict(bundle.acq_kwargs)
+    acq_kw.update(acq_over)
+    missing = [f for f in ("samples_per_line", "ascans_per_bscan",
+                           "bscans_per_buffer") if f not in acq_kw]
+    if missing:
+        raise ValueError(
+            "acquisition geometry required: pass --samples/--ascans/--bscans "
+            "or provide them in the settings file "
+            f"(missing: {', '.join(missing)})")
+    acq, cfg = configmap.build_config(bundle, acq_over, cfg_over)
+
+    # curve / model kwargs: settings first, CLI flags override
     model_kw = dict(
-        resample_coeffs=tuple(klin),
-        dispersion_coeffs=tuple(args.disp_coeffs),
-        window_type=WindowType(args.window_type),
-        window_center=args.window_center,
-        window_fill_factor=args.window_fill,
+        resample_coeffs=(0.0, float(acq.samples_per_line - 1), 0.0, 0.0),
+        dispersion_coeffs=(0.0, 0.0, 0.0, 0.0),
+        window_type=WindowType.HANNING,
+        window_center=0.5,
+        window_fill_factor=1.0,
     )
-    if getattr(args, "klin_curve_csv", None):
+    ck = dict(bundle.curve_kwargs)
+    custom_csv = ck.pop("custom_resampling_filepath", None)
+    model_kw.update(ck)
+    if "klin_coeffs" in a:
+        model_kw["resample_coeffs"] = tuple(a["klin_coeffs"])
+    if "disp_coeffs" in a:
+        model_kw["dispersion_coeffs"] = tuple(a["disp_coeffs"])
+    if "window_type" in a:
+        model_kw["window_type"] = WindowType(a["window_type"])
+    if "window_center" in a:
+        model_kw["window_center"] = a["window_center"]
+    if "window_fill" in a:
+        model_kw["window_fill_factor"] = a["window_fill"]
+    if "klin_curve_csv" in a:
+        custom_csv = a["klin_curve_csv"]
+    if custom_csv:
         from .io.curvefiles import load_curve_csv
 
         model_kw["custom_resample_curve"] = load_curve_csv(
-            args.klin_curve_csv, expected_size=args.samples)
+            custom_csv, expected_size=acq.samples_per_line)
     if getattr(args, "mesh", None):
         from .parallel import make_mesh
 
@@ -185,27 +274,18 @@ def _build_config(args):
     return acq, cfg, model_kw
 
 
-def _apply_settings_file(args) -> None:
-    """Fill argparse defaults from an INI settings file (CLI flags win)."""
-    if not args.settings:
-        return
-    from .utils.settings import SettingsManager
-
-    s = SettingsManager(args.settings)
-    proc = s.get_group("processing")
-    # Simple policy: only set attributes the user left at their defaults.
-    if proc:
-        if not args.bitshift:
-            args.bitshift = s.get_bool("processing", "bitshift", False)
-        if not args.background_removal:
-            args.background_removal = s.get_bool("processing", "background_removal", False)
-        if args.klin_coeffs is None and s.get("processing", "klin_coeffs"):
-            args.klin_coeffs = [float(x) for x in
-                                s.get("processing", "klin_coeffs").split(",")]
-        for key in ("compute_dtype", "matmul_precision", "output_dtype"):
-            if getattr(args, key) == ("default" if key == "matmul_precision"
-                                      else "float32") and s.get("processing", key):
-                setattr(args, key, s.get("processing", key))
+def _source_kwargs(args, bundle) -> dict:
+    """Input-framing options for VirtualOctSource (settings + CLI merge)."""
+    kw = dict(packed_12bit=False, big_endian=False, copy_to_ram=True)
+    kw.update(bundle.source_kwargs)
+    a = vars(args)
+    if "packed_12bit" in a:
+        kw["packed_12bit"] = a["packed_12bit"]
+    if "big_endian" in a:
+        kw["big_endian"] = a["big_endian"]
+    if "stream_from_disk" in a:
+        kw["copy_to_ram"] = not a["stream_from_disk"]
+    return kw
 
 
 def cmd_process(args) -> int:
@@ -215,14 +295,12 @@ def cmd_process(args) -> int:
     from .models.fdoct import FdOctModel
     from .viz import builtin_lut, save_bscan_png, save_enface_png
 
-    _apply_settings_file(args)
-    acq, cfg, model_kw = _build_config(args)
+    bundle = _load_bundle(args)
+    acq, cfg, model_kw = _build_config(args, bundle)
     model = FdOctModel(acq, cfg, **model_kw)
     src = VirtualOctSource(args.input, acq,
                            total_buffers_to_acquire=args.max_buffers,
-                           packed_12bit=args.packed_12bit,
-                           big_endian=args.big_endian,
-                           copy_to_ram=not args.stream_from_disk)
+                           **_source_kwargs(args, bundle))
     n_buffers = min(src.buffers_in_file, args.max_buffers or src.buffers_in_file)
 
     t0 = time.perf_counter()
@@ -276,20 +354,24 @@ def cmd_replay(args) -> int:
     from .runtime import StreamingEngine
     from .utils.console import MessageConsole
 
-    _apply_settings_file(args)
-    acq, cfg, model_kw = _build_config(args)
+    bundle = _load_bundle(args)
+    acq, cfg, model_kw = _build_config(args, bundle)
     model = FdOctModel(acq, cfg, **model_kw)
     src = VirtualOctSource(args.input, acq, wait_time_us=args.wait_us,
                            total_buffers_to_acquire=args.max_buffers,
-                           packed_12bit=args.packed_12bit,
-                           big_endian=args.big_endian,
-                           copy_to_ram=not args.stream_from_disk)
+                           **_source_kwargs(args, bundle))
     console = MessageConsole(echo=True)
-    stream = (args.stream or (args.record and args.record_processed)
-              or args.live)
+    # streaming enable/decimation: settings-file values under the CLI flags
+    # (STREAM_STREAMING / STREAM_STREAMING_SKIP analog)
+    stream_file = bundle.streaming.get("stream_to_host", False)
+    skip = args.skip if args.skip is not None else \
+        bundle.streaming.get("streaming_skip", 0)
+    stream = (args.stream or stream_file
+              or (args.record and args.record_processed) or args.live)
     eng = StreamingEngine(model, src, stream_to_host=stream,
-                          streaming_skip=args.skip, on_info=console.info,
-                          metrics_window_s=args.metrics_window)
+                          streaming_skip=skip, on_info=console.info,
+                          metrics_window_s=args.metrics_window,
+                          dispatch_chunk=args.chunk)
     live = None
     if args.live:
         from .viz.live import LiveView
@@ -303,13 +385,28 @@ def cmd_replay(args) -> int:
     if args.record:
         from .io.recorder import RecordingParams
 
-        params = RecordingParams(
-            save_dir=args.record_dir, name=args.record_name,
-            buffers_to_record=args.record_buffers,
-            start_with_first_buffer_of_volume=args.record_start_with_volume,
-            save_raw=args.record_raw or not args.record_processed,
-            save_processed=args.record_processed,
-            save_as_32bit_float=args.record_float32)
+        rec_kw = dict(bundle.recording)  # [record] group (sidebar REC keys)
+        if args.record_dir is not None:
+            rec_kw["save_dir"] = args.record_dir
+        if args.record_name is not None:
+            rec_kw["name"] = args.record_name
+        if args.record_buffers is not None:
+            rec_kw["buffers_to_record"] = args.record_buffers
+        if args.record_start_with_volume:
+            rec_kw["start_with_first_buffer_of_volume"] = True
+        if args.record_processed:
+            rec_kw["save_processed"] = True
+        if args.record_raw:
+            rec_kw["save_raw"] = True
+        elif args.record_processed and "save_raw" not in rec_kw:
+            rec_kw["save_raw"] = False
+        if args.record_float32:
+            rec_kw["save_as_32bit_float"] = True
+        if args.settings:
+            # recording metadata = copy of the settings file
+            # (octprozapp.cpp:295-298)
+            rec_kw.setdefault("settings_file", args.settings)
+        params = RecordingParams(**rec_kw)
         if args.schedule_interval is not None:
             eng.schedule_recordings(params, interval_s=args.schedule_interval,
                                     total=args.schedule_total)
@@ -372,6 +469,66 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def cmd_settings(args) -> int:
+    """Show or save an INI settings file covering the FULL parameter surface
+    (acquisition / processing / tpu / streaming / record groups with the
+    reference's sidebar.h:44-96 key names).
+
+      settings show PATH            parsed + validated file as JSON
+      settings save PATH [flags]    write defaults + optional --settings base
+                                    + CLI flags as a settings file
+
+    ``save`` round-trips: loading the written file reproduces the exact
+    AcqParams/ProcConfig/curve configuration (property-tested in
+    tests/test_settings_roundtrip.py).
+    """
+    from .utils import configmap
+    from .utils.settings import SettingsManager
+
+    if args.action == "show":
+        bundle = configmap.from_settings(SettingsManager(args.path))
+
+        def enc(d):
+            return {k: (v.value if hasattr(v, "value") else v)
+                    for k, v in d.items()}
+
+        print(json.dumps({
+            "acquisition": enc(bundle.acq_kwargs),
+            "source": enc(bundle.source_kwargs),
+            "processing": enc(bundle.cfg_kwargs),
+            "curves": enc(bundle.curve_kwargs),
+            "streaming": enc(bundle.streaming),
+            "record": enc(bundle.recording),
+        }, indent=2, default=str))
+        return 0
+
+    # save: built-in defaults, overlaid with an optional --settings base
+    # file, overlaid with the CLI flags -- then written to PATH
+    from .params import AcqParams
+
+    bundle = _load_bundle(args)
+    a = vars(args)
+    custom_csv = a.pop("klin_curve_csv", None) \
+        or bundle.curve_kwargs.get("custom_resampling_filepath")
+    defaults = AcqParams()
+    for field in _ACQ_FLAGS.values():
+        bundle.acq_kwargs.setdefault(field, getattr(defaults, field))
+    acq, cfg, model_kw = _build_config(args, bundle)
+    curve_kw = {k: model_kw[k] for k in
+                ("resample_coeffs", "dispersion_coeffs", "window_type",
+                 "window_center", "window_fill_factor")}
+    if custom_csv:
+        curve_kw["custom_resampling_filepath"] = custom_csv
+    sm = SettingsManager(args.path)
+    configmap.to_settings(sm, acq=acq, cfg=cfg, curve_kwargs=curve_kw,
+                          source_kwargs=_source_kwargs(args, bundle),
+                          streaming=bundle.streaming or None,
+                          recording=bundle.recording or None)
+    sm.save()
+    print(f"wrote {args.path}", file=sys.stderr)
+    return 0
+
+
 def cmd_info(args) -> int:
     from . import __version__
     from .utils.deviceinfo import format_report
@@ -428,16 +585,22 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--wait-us", type=int, default=0,
                     help="artificial per-buffer delay (rate emulation)")
     pr.add_argument("--stream", action="store_true", help="fetch processed data")
-    pr.add_argument("--skip", type=int, default=0, help="streaming buffers to skip")
+    pr.add_argument("--skip", type=int, default=None,
+                    help="streaming buffers to skip")
+    pr.add_argument("--chunk", type=int, default=1, metavar="K",
+                    help="throughput mode: batch K buffers into ONE device "
+                         "dispatch (lax.scan step; amortizes per-dispatch "
+                         "latency on tunneled backends at the cost of K "
+                         "buffers of latency)")
     pr.add_argument("--metrics-window", type=float, default=5.0)
     rec = pr.add_argument_group("recording (octprozapp.cpp:215-299 analog)")
     rec.add_argument("--record-background", type=int, default=0, metavar="N",
                      help="capture the post-process background from the "
                           "next N processed buffers (cuda_code.cu:1556-1562)")
     rec.add_argument("--record", action="store_true")
-    rec.add_argument("--record-dir", default=".")
-    rec.add_argument("--record-name", default="recording")
-    rec.add_argument("--record-buffers", type=int, default=1)
+    rec.add_argument("--record-dir", default=None)
+    rec.add_argument("--record-name", default=None)
+    rec.add_argument("--record-buffers", type=int, default=None)
     rec.add_argument("--record-raw", action="store_true")
     rec.add_argument("--record-processed", action="store_true")
     rec.add_argument("--record-float32", action="store_true",
@@ -494,6 +657,15 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--min-psnr", type=float, default=None,
                     help="exit non-zero if overall PSNR is below this (dB)")
     pc.set_defaults(fn=cmd_compare)
+
+    pset = sub.add_parser(
+        "settings", help="show or save an INI settings file "
+                         "(full sidebar.h:44-96 key surface)")
+    pset.add_argument("action", choices=["show", "save"])
+    pset.add_argument("path", help="settings INI file")
+    _add_acq_args(pset)
+    _add_proc_args(pset)
+    pset.set_defaults(fn=cmd_settings)
 
     pi = sub.add_parser("info", help="device + version report")
     pi.set_defaults(fn=cmd_info)

@@ -41,6 +41,11 @@ class RecordingParams:
     save_meta: bool = True
     save_screenshots: bool = False   # B-scan/en-face/volume PNGs at finish
                                      # (octprozapp.cpp:266-292 analog)
+    stop_after_record: bool = False  # auto-stop the stream when the
+                                     # recording completes (REC_STOP,
+                                     # octprozapp.cpp:424-446)
+    settings_file: Optional[str] = None  # INI copied next to the recording
+                                         # as metadata (octprozapp.cpp:295-298)
     description: str = ""
 
 

@@ -171,6 +171,20 @@ class FdOctModel:
         processed, self.fpn_state = self._step(raw, self.curves, self.fpn_state)
         return processed
 
+    def process_chunk(self, raw_stack) -> jax.Array:
+        """Throughput mode: a STACK of raw buffers (k, bscans, ascans,
+        samples) processed by ONE device dispatch (pipeline.make_scan_step,
+        lax.scan threading the FPN state buffer-to-buffer exactly like
+        repeated :meth:`process_buffer` calls).  Amortizes per-dispatch
+        latency on tunneled/remote backends; adds k buffers of latency."""
+        if self.mesh is not None:
+            raise ValueError("process_chunk is single-device throughput "
+                             "mode; on a mesh use process_buffer per buffer")
+        raw_stack = jnp.asarray(raw_stack)
+        step = pipeline.make_scan_step(self.acq, self.cfg)
+        out, self.fpn_state = step(raw_stack, self.curves, self.fpn_state)
+        return out
+
     def process_volume(self, raw_volume) -> jax.Array:
         """raw uint (buffers, bscans, ascans, samples) or a single buffer ->
         float32 (total_bscans, ascans, samples//2)."""

@@ -197,6 +197,7 @@ class StreamingEngine:
         streaming_bit_depth: Optional[int] = None,
         max_in_flight: int = 2,
         prefetch_depth: int = 2,
+        dispatch_chunk: int = 1,
         metrics_window_s: float = 5.0,
         on_metrics: Optional[Callable[[ThroughputStats], None]] = None,
         on_processed: Optional[Callable[[np.ndarray, int], None]] = None,
@@ -211,6 +212,11 @@ class StreamingEngine:
         self.streaming_bit_depth = streaming_bit_depth or model.acq.bit_depth
         self.max_in_flight = max(1, max_in_flight)
         self.prefetch_depth = prefetch_depth
+        # >1: batch this many buffers into ONE device dispatch
+        # (pipeline.make_scan_step) -- throughput mode for tunneled/remote
+        # backends where per-dispatch latency dominates sub-3 ms kernels;
+        # costs dispatch_chunk buffers of latency (bench.py chunk analog)
+        self.dispatch_chunk = max(1, dispatch_chunk)
         self.on_metrics = on_metrics
         self.on_processed = on_processed
         self.on_info = on_info or (lambda msg: None)
@@ -218,6 +224,7 @@ class StreamingEngine:
         self.raw_recorder = Recorder("raw")
         self.processed_recorder = Recorder("processed")
         self._record_as_float = False
+        self._stop_after_record = False
         self.scheduler = None  # optional RecordingScheduler (see schedule_recordings)
         self.assembler = None  # d_processedBuffer analog (cuda_code.cu:1530-1535)
         if on_volume is not None:
@@ -248,10 +255,21 @@ class StreamingEngine:
         if params.save_processed:
             self.processed_recorder.start(params, ts)
             self._record_as_float = params.save_as_32bit_float
+        self._stop_after_record = params.stop_after_record
         if params.save_meta:
             import os
-            write_meta(os.path.join(params.save_dir, f"{ts}_{params.name}"),
-                       self.model.acq, self.model.cfg, params)
+            prefix = os.path.join(params.save_dir, f"{ts}_{params.name}")
+            write_meta(prefix, self.model.acq, self.model.cfg, params)
+            if params.settings_file:
+                # the reference's metadata is a COPY of settings.ini
+                # (octprozapp.cpp:295-298); keep that too when a settings
+                # file drives the session
+                import shutil
+                try:
+                    shutil.copyfile(params.settings_file,
+                                    prefix + "_settings.ini")
+                except OSError as e:
+                    self.on_info(f"settings-file copy failed: {e}")
         self.on_info(f"recording started: {params.name}")
 
     def schedule_recordings(self, params: RecordingParams, delay_s: float = 0.0,
@@ -333,14 +351,75 @@ class StreamingEngine:
         # (cuda_code.cu:1416-1420).
         in_flight: List[tuple] = []
         processed_count = 0
+        chunk_raws: List[np.ndarray] = []
+
+        def dispatch_one(processed, buffer_nr: int) -> None:
+            nonlocal processed_count
+            if self._post_bg_remaining > 0:
+                self._capture_post_background(processed)
+
+            # float32 processed recording bypasses quantization
+            # (streamProcessedFloatData analog, cuda_code.cu:1374-1386)
+            record_float = (self.processed_recorder.recording
+                            and self._record_as_float)
+            fetch = (self.stream_to_host
+                     and processed_count % (self.streaming_skip + 1) == 0)
+            if record_float:
+                in_flight.append((buffer_nr, processed, None))
+            elif fetch:
+                in_flight.append((buffer_nr, self._quantize(processed),
+                                  None))
+            else:
+                # nothing is fetched for this buffer: retain a cheap
+                # device scalar so draining can still block on step
+                # completion -- the explicit analog of the reference's
+                # blocking CUDA event (cuda_code.cu:1416-1420).  Without
+                # it nothing bounds how far the host runs ahead of the
+                # device.
+                in_flight.append((buffer_nr, None, self._probe(processed)))
+
+            if len(in_flight) > self.max_in_flight:
+                self._drain_one(in_flight)
+
+            processed_count += 1
+            if self._stop_after_record and not self.recording:
+                # auto-stop once the recording finished (REC_STOP,
+                # octprozapp.cpp:424-446); scheduled series never set it
+                self._stop_after_record = False
+                self.on_info("recording complete: stopping stream")
+                self._stop_requested.set()
+            if self.scheduler is not None and self.scheduler.active:
+                self.scheduler.poll()
+            stats = self.meter.tick()
+            if stats is not None:
+                self.on_info(stats.info_line())
+                if self.on_metrics:
+                    self.on_metrics(stats)
+
+        def flush_chunk() -> None:
+            """Dispatch the accumulated raw buffers as ONE scan step."""
+            if not chunk_raws:
+                return
+            first_nr = processed_count % bufs_per_vol
+            if len(chunk_raws) == 1:
+                dispatch_one(self.model.process_buffer(chunk_raws[0]),
+                             first_nr)
+            else:
+                outs = self.model.process_chunk(np.stack(chunk_raws))
+                for i in range(outs.shape[0]):
+                    dispatch_one(outs[i],
+                                 (first_nr + i) % bufs_per_vol)
+            chunk_raws.clear()
+
         try:
             while not self._stop_requested.is_set():
-                if max_buffers is not None and processed_count >= max_buffers:
+                if max_buffers is not None and \
+                        processed_count + len(chunk_raws) >= max_buffers:
                     break
                 raw = prefetcher.get()
                 if raw is None:
                     break
-                buffer_nr = processed_count % bufs_per_vol
+                buffer_nr = (processed_count + len(chunk_raws)) % bufs_per_vol
 
                 # raw-side subscribers get the host buffer before upload
                 # (processing.cpp:182 emit rawData)
@@ -349,44 +428,15 @@ class StreamingEngine:
                 if want_raw_fanout:
                     self.extensions.feed_raw(np.asarray(raw), acq, buffer_nr)
 
-                processed = self.model.process_buffer(raw)  # async dispatch
+                if self.dispatch_chunk > 1:
+                    chunk_raws.append(np.asarray(raw))
+                    if len(chunk_raws) >= self.dispatch_chunk:
+                        flush_chunk()
+                    continue
 
-                if self._post_bg_remaining > 0:
-                    self._capture_post_background(processed)
+                dispatch_one(self.model.process_buffer(raw), buffer_nr)
 
-                # float32 processed recording bypasses quantization
-                # (streamProcessedFloatData analog, cuda_code.cu:1374-1386)
-                record_float = (self.processed_recorder.recording
-                                and self._record_as_float)
-                fetch = (self.stream_to_host
-                         and processed_count % (self.streaming_skip + 1) == 0)
-                if record_float:
-                    in_flight.append((buffer_nr, processed, None))
-                elif fetch:
-                    in_flight.append((buffer_nr, self._quantize(processed),
-                                      None))
-                else:
-                    # nothing is fetched for this buffer: retain a cheap
-                    # device scalar so draining can still block on step
-                    # completion -- the explicit analog of the reference's
-                    # blocking CUDA event (cuda_code.cu:1416-1420).  Without
-                    # it nothing bounds how far the host runs ahead of the
-                    # device.
-                    in_flight.append((buffer_nr, None,
-                                      self._probe(processed)))
-
-                if len(in_flight) > self.max_in_flight:
-                    self._drain_one(in_flight)
-
-                processed_count += 1
-                if self.scheduler is not None and self.scheduler.active:
-                    self.scheduler.poll()
-                stats = self.meter.tick()
-                if stats is not None:
-                    self.on_info(stats.info_line())
-                    if self.on_metrics:
-                        self.on_metrics(stats)
-
+            flush_chunk()  # partial tail chunk (or single-buffer mode: no-op)
             while in_flight:
                 self._drain_one(in_flight)
             # make the final dispatched step's completion observable

@@ -257,3 +257,57 @@ def test_bf16_output_upcast_for_host_consumers(tmp_path):
     data = np.fromfile(procs[0], dtype=np.float32)
     assert data.size == 2 * ACQ.ascans_per_buffer * ACQ.output_ascan_length
     assert np.isfinite(data).all()
+
+
+def test_dispatch_chunk_matches_per_buffer():
+    """Throughput mode (dispatch_chunk>1, make_scan_step) produces the same
+    stream as per-buffer dispatch -- including FPN state threading and a
+    partial tail chunk -- and the same decimated fetch cadence."""
+    cfg = dataclasses.replace(CFG, fpn_mode=FpnMode.ONCE)
+
+    def run(chunk):
+        got = []
+        model = FdOctModel(ACQ, cfg,
+                           resample_coeffs=(0.0, ACQ.samples_per_line - 1.0,
+                                            0.0, 0.0))
+        source = SyntheticSource(ACQ, n_buffers=7)  # 7 % 3 != 0: tail chunk
+        eng = StreamingEngine(model, source, stream_to_host=True,
+                              dispatch_chunk=chunk,
+                              on_processed=lambda buf, nr: got.append(
+                                  (buf.copy(), nr)))
+        n = eng.run()
+        return n, got
+
+    n1, per_buffer = run(1)
+    n3, chunked = run(3)
+    assert n1 == n3 == 7
+    assert len(per_buffer) == len(chunked) == 7
+    for (a, na), (b, nb) in zip(per_buffer, chunked):
+        assert na == nb
+        np.testing.assert_array_equal(a, b)
+
+
+def test_stop_after_record_stops_stream(tmp_path):
+    """REC_STOP semantics (octprozapp.cpp:424-446): the stream auto-stops
+    once the recording completes."""
+    eng = make_engine(n_buffers=None)  # endless source
+    eng.start_recording(RecordingParams(
+        save_dir=str(tmp_path), name="stop", buffers_to_record=3,
+        save_raw=True, save_meta=False, stop_after_record=True))
+    n = eng.run(max_buffers=100)
+    assert 3 <= n < 100
+    assert glob.glob(os.path.join(str(tmp_path), "*stop_raw*.raw"))
+
+
+def test_recording_copies_settings_file(tmp_path):
+    """The reference's recording metadata is a copy of settings.ini
+    (octprozapp.cpp:295-298)."""
+    ini = tmp_path / "session.ini"
+    ini.write_text("[processing]\nbitshift = 1\n")
+    eng = make_engine(n_buffers=3)
+    eng.start_recording(RecordingParams(
+        save_dir=str(tmp_path), name="meta", buffers_to_record=2,
+        save_raw=True, save_meta=True, settings_file=str(ini)))
+    eng.run()
+    copies = glob.glob(os.path.join(str(tmp_path), "*meta_settings.ini"))
+    assert copies and "bitshift" in open(copies[0]).read()

@@ -1,0 +1,201 @@
+"""Settings-file round-trip: every acquisition / processing / tpu /
+streaming / recording key survives config -> INI -> config identically
+(the full sidebar.h:44-96 / settingsfilemanager.h:100-125 surface).
+"""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+from octproz_tpu.cli import main
+from octproz_tpu.params import (AcqParams, FpnMode, Interpolation, ProcConfig,
+                                WindowType)
+from octproz_tpu.utils import configmap
+from octproz_tpu.utils.settings import SettingsManager
+
+
+def _roundtrip(tmp_path, acq, cfg, curve_kw=None, streaming=None,
+               recording=None):
+    path = str(tmp_path / "settings.ini")
+    sm = SettingsManager(path)
+    configmap.to_settings(sm, acq=acq, cfg=cfg, curve_kwargs=curve_kw,
+                          streaming=streaming, recording=recording)
+    sm.save()
+    return configmap.from_settings(SettingsManager(path))
+
+
+def test_default_config_roundtrip(tmp_path):
+    acq, cfg = AcqParams(), ProcConfig()
+    b = _roundtrip(tmp_path, acq, cfg)
+    acq2, cfg2 = configmap.build_config(b)
+    assert acq2 == acq
+    assert cfg2 == cfg
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_config_roundtrip(tmp_path, seed):
+    """Property test: random values in EVERY mapped field survive the
+    round trip exactly."""
+    rng = np.random.default_rng(seed)
+
+    def flip():
+        return bool(rng.integers(0, 2))
+
+    acq = AcqParams(samples_per_line=int(rng.choice([256, 512, 1024, 1664])),
+                    ascans_per_bscan=int(rng.integers(4, 1024)),
+                    bscans_per_buffer=int(rng.integers(1, 512)),
+                    buffers_per_volume=int(rng.integers(1, 16)),
+                    bit_depth=int(rng.choice([8, 12, 16, 32])))
+    cfg = ProcConfig(
+        bitshift=flip(), background_removal=flip(),
+        rolling_average_window=int(rng.integers(1, 256)),
+        resampling=flip(),
+        interpolation=Interpolation(rng.choice([m.value for m in Interpolation])),
+        windowing=flip(), dispersion=flip(),
+        fpn_mode=FpnMode(rng.choice([m.value for m in FpnMode])),
+        bscans_for_noise=int(rng.integers(1, 16)),
+        log_scaling=flip(),
+        grayscale_min=float(np.round(rng.normal(), 6)),
+        grayscale_max=float(np.round(60 + rng.normal(), 6)),
+        multiplicator=float(np.round(rng.uniform(0.5, 2.0), 6)),
+        addend=float(np.round(rng.normal(), 6)),
+        bscan_flip=flip(), sinusoidal_correction=flip(),
+        post_background_removal=flip(),
+        post_background_weight=float(np.round(rng.uniform(), 6)),
+        post_background_offset=float(np.round(rng.normal(), 6)),
+        resample_via_matmul=flip(),
+        compute_dtype=str(rng.choice(["float32", "bfloat16"])),
+        matmul_precision=str(rng.choice(["default", "high", "highest"])),
+        use_pallas_prep=flip(), fft_via_matmul=flip(),
+        fold_backend=str(rng.choice(["pallas", "xla"])),
+        fused_scale=flip(), fold_concat=flip(),
+        fold_k_split=int(rng.integers(1, 5)),
+        fast_log=flip(), pallas_tile=int(rng.choice([0, 128, 512])),
+        output_dtype=str(rng.choice(["float32", "bfloat16"])),
+    )
+    curve_kw = dict(
+        resample_coeffs=tuple(np.round(rng.normal(size=4), 6).tolist()),
+        dispersion_coeffs=tuple(np.round(rng.normal(size=4), 6).tolist()),
+        window_type=WindowType(rng.choice([m.value for m in WindowType])),
+        window_center=float(np.round(rng.uniform(), 6)),
+        window_fill_factor=float(np.round(rng.uniform(0.1, 1.0), 6)),
+    )
+    streaming = dict(stream_to_host=flip(),
+                     streaming_skip=int(rng.integers(0, 8)))
+    recording = dict(save_dir="/tmp/rec", name=f"r{seed}",
+                     buffers_to_record=int(rng.integers(1, 64)),
+                     save_raw=flip(), save_processed=flip(),
+                     save_as_32bit_float=flip(),
+                     start_with_first_buffer_of_volume=flip(),
+                     save_meta=flip(), save_screenshots=flip(),
+                     stop_after_record=flip(), description=f"desc {seed}")
+
+    b = _roundtrip(tmp_path, acq, cfg, curve_kw, streaming, recording)
+    acq2, cfg2 = configmap.build_config(b)
+    assert acq2 == acq
+    assert cfg2 == cfg
+    assert b.curve_kwargs == curve_kw
+    assert b.streaming == streaming
+    assert b.recording == recording
+
+
+def test_invalid_enum_value_names_key(tmp_path):
+    path = str(tmp_path / "s.ini")
+    sm = SettingsManager(path)
+    sm.update_group("processing", {"window_type": "blackman"})
+    sm.save()
+    with pytest.raises(ValueError, match=r"\[processing\] window_type"):
+        configmap.from_settings(SettingsManager(path))
+
+
+def test_invalid_number_names_key(tmp_path):
+    path = str(tmp_path / "s.ini")
+    sm = SettingsManager(path)
+    sm.update_group("processing", {"min": "abc"})
+    sm.save()
+    with pytest.raises(ValueError, match=r"\[processing\] min"):
+        configmap.from_settings(SettingsManager(path))
+
+
+def test_reference_boolean_fpn_keys(tmp_path):
+    """The reference's PROC_FIXED_PATTERN_REMOVAL(+_CONTINUOUSLY) boolean
+    pair maps onto FpnMode when the explicit mode key is absent."""
+    path = str(tmp_path / "s.ini")
+    sm = SettingsManager(path)
+    sm.update_group("processing", {"fixed_pattern_removal": "true",
+                                   "fixed_pattern_removal_continuously": "1"})
+    sm.save()
+    b = configmap.from_settings(SettingsManager(path))
+    assert b.cfg_kwargs["fpn_mode"] == FpnMode.CONTINUOUS
+    sm.update_group("processing", {"fixed_pattern_removal_continuously": "0"})
+    sm.save()
+    b = configmap.from_settings(SettingsManager(path))
+    assert b.cfg_kwargs["fpn_mode"] == FpnMode.ONCE
+
+
+# ---------------------------------------------------------------------------
+# CLI integration: settings save/show + --settings application and override
+# ---------------------------------------------------------------------------
+
+def test_cli_settings_save_show_roundtrip(tmp_path, capsys):
+    ini = tmp_path / "cfg.ini"
+    rc = main(["settings", "save", str(ini),
+               "--samples", "256", "--ascans", "16", "--bscans", "8",
+               "--interpolation", "lanczos", "--window-type", "flattop",
+               "--fpn", "continuous", "--grayscale-max", "72.5",
+               "--disp-coeffs", "0", "0", "7.5", "-1.25",
+               "--compute-dtype", "bfloat16", "--fold-ksplit", "2"])
+    assert rc == 0 and ini.exists()
+    assert main(["settings", "show", str(ini)]) == 0
+    shown = json.loads(capsys.readouterr().out)
+    assert shown["acquisition"]["samples_per_line"] == 256
+    assert shown["processing"]["interpolation"] == "lanczos"
+    assert shown["processing"]["fpn_mode"] == "continuous"
+    assert shown["processing"]["grayscale_max"] == 72.5
+    assert shown["processing"]["fold_k_split"] == 2
+    assert shown["processing"]["compute_dtype"] == "bfloat16"
+    assert shown["curves"]["window_type"] == "flattop"
+    assert shown["curves"]["dispersion_coeffs"] == [0.0, 0.0, 7.5, -1.25]
+
+
+def test_cli_settings_drive_process_and_flags_override(tmp_path):
+    """process runs entirely off a settings file (no geometry flags), and an
+    explicit CLI flag overrides the file value even when the flag equals
+    another default (the ADVICE r2 semantics fix)."""
+    n, asc, bsc = 128, 8, 4
+    k = np.arange(n)
+    spec = 1000.0 + 400.0 * np.cos(2 * np.pi * 20 * k / n)
+    vol = np.tile(spec, (1, bsc, asc, 1)).astype(np.uint16)
+    inp = tmp_path / "in.raw"
+    vol.tofile(inp)
+
+    ini = tmp_path / "cfg.ini"
+    assert main(["settings", "save", str(ini),
+                 "--samples", str(n), "--ascans", str(asc),
+                 "--bscans", str(bsc), "--fpn", "off",
+                 "--compute-dtype", "bfloat16",
+                 "--grayscale-max", "80"]) == 0
+
+    out1 = tmp_path / "o1.raw"
+    assert main(["process", str(inp), "--settings", str(ini),
+                 "--output", str(out1)]) == 0
+    a = np.fromfile(out1, np.float32).reshape(bsc, asc, n // 2)
+    assert np.isfinite(a).all()
+
+    # explicit flag wins over the file: --compute-dtype float32 (the ProcConfig
+    # default!) must override the file's bfloat16
+    from octproz_tpu.cli import build_parser, _build_config
+
+    args = build_parser().parse_args(
+        ["process", str(inp), "--settings", str(ini),
+         "--compute-dtype", "float32"])
+    _, cfg, _ = _build_config(args)
+    assert cfg.compute_dtype == "float32"
+    assert cfg.grayscale_max == 80.0  # non-overridden file value applies
+
+    args = build_parser().parse_args(["process", str(inp), "--settings",
+                                      str(ini)])
+    _, cfg, _ = _build_config(args)
+    assert cfg.compute_dtype == "bfloat16"  # file value without the flag
