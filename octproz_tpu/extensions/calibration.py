@@ -39,18 +39,31 @@ def estimate_dispersion_coeffs(
     cfg: ProcConfig,
     curves: Curves,
     d2_range: Tuple[float, float] = (-100.0, 100.0),
+    d3_range: Tuple[float, float] = (-100.0, 100.0),
     d3: float = 0.0,
+    estimate_d3: bool = True,
     n_grid: int = 41,
     refine_iters: int = 2,
     max_lines: int = 512,
     min_depth_bin: int = 5,
-) -> Tuple[float, float]:
-    """Grid-search d2 (quadratic dispersion) maximizing image sharpness.
+) -> Tuple[float, float, float]:
+    """Estimate BOTH d2 (quadratic) and d3 (cubic) dispersion coefficients
+    maximizing image sharpness -- the full capability of the reference's
+    Dispersion Estimator extension (/root/reference/docs/docs/plugins.md:18-19).
 
     raw: one uint buffer (bscans, ascans, samples).  Uses the pipeline's
     prep (resample x window via ``curves``) once, then evaluates all phase
-    candidates with a vmapped IFFT.  Returns (best_d2, best_metric).
-    Iteratively refines the grid around the argmax (``refine_iters``).
+    candidates with a vmapped IFFT.  Search: coarse-to-fine JOINT 2-D grid
+    zoom -- the sharpness landscape is a flat ridge (a cubic phase error is
+    almost compensable by quadratic + linear, which only shifts the peak)
+    with secondary lobes along each axis, so 1-D coordinate descent stalls
+    off-ridge; a dense joint grid (n_grid x n_grid, then ``refine_iters``
+    zooms of a 15 x 15 grid around the argmax) finds the true maximum.
+    Candidate batches are evaluated in chunks of 32 to bound device memory;
+    total cost is (n_grid^2 + 225*refine_iters) IFFTs over ``max_lines``
+    lines.  Returns (best_d2, best_d3, best_metric).  ``d3`` is the
+    starting value; with ``estimate_d3=False`` it stays fixed and only d2
+    is searched (1-D refined grid).
     """
     import jax
     import jax.numpy as jnp
@@ -75,27 +88,57 @@ def estimate_dispersion_coeffs(
         intensity = jnp.abs(z[..., min_depth_bin:half]) ** 2
         return _sharpness_metric(intensity)
 
-    lo, hi = d2_range
-    best_d2 = 0.0
-    for _ in range(max(refine_iters, 1)):
-        d2s = np.linspace(lo, hi, n_grid)
-        phases = np.stack([
-            np.asarray(curves_mod.dispersion_phase(acq, 0.0, 0.0, d2, d3))
-            for d2 in d2s])
-        metrics = np.asarray(metric_for(jnp.asarray(phases)))
+    def eval_metrics(pairs) -> np.ndarray:
+        """Sharpness for a list of (d2, d3) candidates, chunked so the
+        vmapped IFFT never materializes more than ~32 candidate volumes."""
+        out = []
+        for i in range(0, len(pairs), 32):
+            phases = np.stack([
+                np.asarray(curves_mod.dispersion_phase(acq, 0.0, 0.0, c2, c3))
+                for c2, c3 in pairs[i:i + 32]])
+            out.append(np.asarray(metric_for(jnp.asarray(phases))))
+        return np.concatenate(out)
+
+    best_d2, best_d3 = 0.0, float(d3)
+    best_metric = -np.inf
+
+    if not estimate_d3:
+        # round-2 behavior: 1-D refined grid over d2 with d3 fixed
+        lo, hi = d2_range
+        for _ in range(max(refine_iters, 1)):
+            cand = np.linspace(lo, hi, n_grid)
+            metrics = eval_metrics([(c, best_d3) for c in cand])
+            k = int(np.argmax(metrics))
+            best_d2, best_metric = float(cand[k]), float(metrics[k])
+            span = (hi - lo) / (n_grid - 1)
+            lo, hi = best_d2 - 2 * span, best_d2 + 2 * span
+        return best_d2, best_d3, best_metric
+
+    # joint coarse-to-fine 2-D zoom
+    (lo2, hi2), (lo3, hi3) = d2_range, d3_range
+    for it in range(max(refine_iters, 1) + 1):
+        nn = n_grid if it == 0 else 15
+        c2s = np.linspace(lo2, hi2, nn)
+        c3s = np.linspace(lo3, hi3, nn)
+        pairs = [(c2, c3) for c2 in c2s for c3 in c3s]
+        metrics = eval_metrics(pairs)
         k = int(np.argmax(metrics))
-        best_d2 = float(d2s[k])
-        span = (hi - lo) / (n_grid - 1)
-        lo, hi = best_d2 - 2 * span, best_d2 + 2 * span
-    return best_d2, float(metrics[k])
+        (best_d2, best_d3), best_metric = pairs[k], float(metrics[k])
+        s2 = (hi2 - lo2) / (nn - 1)
+        s3 = (hi3 - lo3) / (nn - 1)
+        lo2, hi2 = best_d2 - 2 * s2, best_d2 + 2 * s2
+        lo3, hi3 = best_d3 - 2 * s3, best_d3 + 2 * s3
+    return best_d2, best_d3, best_metric
 
 
 class DispersionEstimator:
-    """Stateful wrapper: feed raw buffers, call :meth:`estimate`.
+    """Stateful wrapper: feed raw buffers, call :meth:`estimate` ->
+    (d2, d3, metric).
 
-    The reference extension live-tunes d2/d3 against the running stream and
-    pushes results back over setDispCompCoeffsRequest; here the estimate is
-    returned (and can be applied via FdOctModel.set_dispersion_coeffs).
+    The reference extension live-tunes d2 AND d3 against the running stream
+    (docs/docs/plugins.md:18-19) and pushes results back over
+    setDispCompCoeffsRequest; here the estimate is returned (and can be
+    applied via FdOctModel.set_dispersion_coeffs).
     """
 
     def __init__(self, acq: AcqParams, cfg: ProcConfig, curves: Curves):
@@ -107,7 +150,7 @@ class DispersionEstimator:
     def feed(self, raw: np.ndarray) -> None:
         self.last_raw = np.asarray(raw)
 
-    def estimate(self, **kw) -> Tuple[float, float]:
+    def estimate(self, **kw) -> Tuple[float, float, float]:
         if self.last_raw is None:
             raise RuntimeError("no raw buffer fed yet")
         return estimate_dispersion_coeffs(self.last_raw, self.acq, self.cfg,

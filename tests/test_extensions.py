@@ -107,10 +107,10 @@ ACQ = AcqParams(samples_per_line=256, ascans_per_bscan=32, bscans_per_buffer=1,
                 buffers_per_volume=1, bit_depth=12)
 
 
-def _dispersed_raw(d2_true: float, n=256, f=40.0):
-    """Real fringes with the quadratic phase error phi_{d2_true}(x)."""
+def _dispersed_raw(d2_true: float, d3_true: float = 0.0, n=256, f=40.0):
+    """Real fringes with the polynomial phase error phi_{d2,d3}(x)."""
     phi = np.asarray(curves_mod.polynomial_curve(
-        curves_mod.normalize_poly_coeffs(0.0, 0.0, d2_true, 0.0, n), n))
+        curves_mod.normalize_poly_coeffs(0.0, 0.0, d2_true, d3_true, n), n))
     x = np.arange(n)
     line = 2000 + 1000 * np.cos(2 * np.pi * f * x / n + phi)
     raw = np.tile(line, (1, ACQ.ascans_per_bscan, 1))
@@ -122,7 +122,7 @@ def test_estimate_dispersion_finds_compensator():
     cfg = ProcConfig(windowing=True, dispersion=True)
     curves = curves_mod.make_curves(ACQ, cfg, window_type=WindowType.HANNING)
     raw = _dispersed_raw(d2_true)
-    best_d2, metric = estimate_dispersion_coeffs(
+    best_d2, best_d3, metric = estimate_dispersion_coeffs(
         raw, ACQ, cfg, curves, d2_range=(-100, 100), n_grid=41, refine_iters=2)
     # The kept (positive-depth) half of the IFFT holds the conjugate fringe
     # term, which the phasor exp(+i phi_{d2_true}) sharpens -- so the
@@ -130,7 +130,28 @@ def test_estimate_dispersion_finds_compensator():
     # d2 = +d2_true in this convention (sign flips via the direction factor,
     # cuda_code.cu:624-634).
     assert abs(best_d2 - d2_true) < 5.0
+    assert abs(best_d3) < 10.0  # no cubic error present
     assert metric > 0
+
+
+def test_estimate_dispersion_recovers_d2_and_d3():
+    """Full reference-extension capability (docs/docs/plugins.md:18-19):
+    recover BOTH a quadratic and a cubic phase error from a synthetic
+    chirped interferogram."""
+    d2_true, d3_true = 35.0, -25.0
+    cfg = ProcConfig(windowing=True, dispersion=True)
+    curves = curves_mod.make_curves(ACQ, cfg, window_type=WindowType.HANNING)
+    raw = _dispersed_raw(d2_true, d3_true)
+    d2, d3, metric = estimate_dispersion_coeffs(
+        raw, ACQ, cfg, curves, d2_range=(-100, 100), d3_range=(-100, 100),
+        n_grid=41, refine_iters=2)
+    assert abs(d2 - d2_true) < 5.0, f"d2={d2}"
+    assert abs(d3 - d3_true) < 5.0, f"d3={d3}"
+    # the joint estimate must sharpen at least as well as d2-only
+    _, _, m_d2only = estimate_dispersion_coeffs(
+        raw, ACQ, cfg, curves, d2_range=(-100, 100), estimate_d3=False,
+        n_grid=41, refine_iters=2)
+    assert metric >= m_d2only
 
 
 def test_dispersion_estimator_stateful():
@@ -140,7 +161,7 @@ def test_dispersion_estimator_stateful():
     with pytest.raises(RuntimeError):
         est.estimate()
     est.feed(_dispersed_raw(20.0))
-    d2, _ = est.estimate(d2_range=(-60, 60), n_grid=25, refine_iters=1)
+    d2, d3, _ = est.estimate(d2_range=(-60, 60), n_grid=25, refine_iters=1)
     assert abs(d2 - 20.0) < 6.0
 
 
