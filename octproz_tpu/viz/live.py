@@ -25,8 +25,10 @@ watch:
 
 Frame updates are throttled like the reference's 80 ms redraw timer
 (glwindow3d.cpp:316-323): between ticks, incoming volumes only replace the
-pending frame.  All rendering on the serving path is host-side numpy — the
-HTTP threads never touch the accelerator.
+pending frame.  Nothing on the serving path touches the accelerator: the
+2-D frames are host-side numpy, and the throttled volume raycast is pinned
+to the CPU jax backend (render_volume(device=cpu)) so a browser viewer can
+never contend with the processing pipeline for the chip.
 """
 
 from __future__ import annotations
@@ -342,10 +344,25 @@ class LiveView:
                 self.volume_renders += 1
                 self._stats["volume_renders"] = self.volume_renders
 
+    def _cpu_device(self):
+        """The CPU device every live render is pinned to: the viewer must
+        never contend with the pipeline for the accelerator (a tunneled TPU
+        backend can wedge under concurrent load; and the reference's display
+        path never stalls processing either, glwindow3d.cpp:316-323)."""
+        if not hasattr(self, "_cpu_dev"):
+            import jax
+
+            try:
+                self._cpu_dev = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                self._cpu_dev = None
+        return self._cpu_dev
+
     def _render_assembled_volume(self) -> Optional[bytes]:
         """Raycast the assembler's current (possibly partial) volume —
         updateDisplayedVolume + 80 ms-throttled redraw analog
-        (cuda_code.cu:914-941, glwindow3d.cpp:316-323)."""
+        (cuda_code.cu:914-941, glwindow3d.cpp:316-323).  Runs on the CPU
+        backend, NOT the session accelerator."""
         from .render import RenderMode, RenderParams, render_volume
 
         try:
@@ -355,7 +372,8 @@ class LiveView:
                              step_length=0.02),
                 yaw=0.5, pitch=0.4,
                 out_shape=(self.volume_size, self.volume_size),
-                lut=self._lut)
+                lut=self._lut,
+                device=self._cpu_device())
             return _encode_png(to_uint8(np.clip(img, 0.0, 1.0)))
         except Exception:  # rendering must never kill the stream
             return None

@@ -296,14 +296,32 @@ def render_volume(
     pitch: float = 0.0,
     out_shape: Tuple[int, int] = (512, 512),
     lut: Optional[np.ndarray] = None,
+    device=None,
 ) -> np.ndarray:
     """Render a processed volume (bscans, ascans, depth; float 0..1) to an
-    (H, W, 3) float RGB image.  yaw/pitch in radians (trackball analog)."""
-    volume = jnp.clip(jnp.asarray(volume, jnp.float32), 0.0, 1.0)
-    rot = jnp.asarray(_rotation(yaw, pitch))
-    if params.mode == RenderMode.OCT_DEPTH:
-        depth_tex = compute_sample_depths(volume, params.depth_threshold)
-    else:
-        depth_tex = jnp.zeros((1, 1, 1), jnp.float32)
-    lut_arr = None if lut is None else jnp.asarray(lut, jnp.float32)
-    return np.asarray(_render(volume, depth_tex, rot, lut_arr, params, out_shape))
+    (H, W, 3) float RGB image.  yaw/pitch in radians (trackball analog).
+
+    ``device``: an explicit ``jax.Device`` to run the raycast on.  A live
+    viewer on a TPU session must pass a CPU device so rendering can never
+    contend with the processing pipeline for the accelerator (the
+    reference's display path never stalls processing either,
+    glwindow3d.cpp:316-323); viz/live.py does this.
+    """
+
+    def go():
+        vol = jnp.clip(jnp.asarray(volume, jnp.float32), 0.0, 1.0)
+        rot = jnp.asarray(_rotation(yaw, pitch))
+        if params.mode == RenderMode.OCT_DEPTH:
+            depth_tex = compute_sample_depths(vol, params.depth_threshold)
+        else:
+            depth_tex = jnp.zeros((1, 1, 1), jnp.float32)
+        lut_arr = None if lut is None else jnp.asarray(lut, jnp.float32)
+        return np.asarray(_render(vol, depth_tex, rot, lut_arr, params,
+                                  out_shape))
+
+    if device is not None:
+        # default_device scopes placement of the (host numpy) inputs; the
+        # jitted raycast then compiles and runs on that device
+        with jax.default_device(device):
+            return go()
+    return go()
