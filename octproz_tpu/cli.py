@@ -379,6 +379,14 @@ def cmd_replay(args) -> int:
         live = LiveView(port=args.live_port, host=args.live_host,
                         lut=args.live_lut, volume_render=args.live_volume)
         live.attach(eng)  # auto-creates a ParamController (POST /control)
+        if args.camera_dir:
+            from .extensions.camera import CameraExtension, DirectoryCamera
+
+            cam = CameraExtension(DirectoryCamera(args.camera_dir,
+                                                  fps=args.camera_fps))
+            eng.extensions.add(cam)
+            cam.activate()
+            live.attach_camera(cam)
         print(f"live view: {live.url}", flush=True)
     if args.record_background:
         eng.record_post_background(args.record_background)
@@ -618,6 +626,11 @@ def build_parser() -> argparse.ArgumentParser:
     live.add_argument("--live-volume", action="store_true",
                       help="periodic 3D render of the assembled volume "
                            "(GLWindow3D analog, throttled)")
+    live.add_argument("--camera-dir", default=None, metavar="PATH",
+                      help="serve a sample-view camera pane from image "
+                           "files in PATH (Camera extension analog; cycles "
+                           "frames at --camera-fps)")
+    live.add_argument("--camera-fps", type=float, default=10.0)
     pr.set_defaults(fn=cmd_replay)
 
     pv = sub.add_parser("render", help="render a processed float32 volume")

@@ -11,3 +11,6 @@ from .calibration import (  # noqa: F401
     DispersionEstimator, estimate_dispersion_coeffs, extract_klin_curve,
 )
 from .socketstream import SocketStreamServer  # noqa: F401
+from .camera import (  # noqa: F401
+    CallableCamera, CameraExtension, DirectoryCamera,
+)

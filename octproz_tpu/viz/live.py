@@ -57,7 +57,8 @@ _PAGE = """<!doctype html>
 <h2>octproz_tpu live view</h2>
 <div id="stats">waiting for data...</div>
 <div><img id="bscan" alt="B-scan"> <img id="enface" alt="en-face">
-     <img id="volume" alt="volume" style="display:none"></div>
+     <img id="volume" alt="volume" style="display:none">
+     <img id="camera" alt="camera" style="display:none"></div>
 <h3>centre A-scan</h3><canvas id="ascan" width="600" height="160"></canvas>
 <div id="ctl"><h3>live re-tuning</h3>
  <div>dispersion d0-d3:
@@ -116,6 +117,10 @@ async function tick(){
     if (s.volume_renders){
       const v = document.getElementById('volume');
       v.style.display = ''; v.src = '/volume.png?' + t;
+    }
+    if (s.camera){
+      const c = document.getElementById('camera');
+      c.style.display = ''; c.src = '/camera.png?' + t;
     }
     const a = await (await fetch('/ascan.json')).json();
     const c = document.getElementById('ascan'), g = c.getContext('2d');
@@ -186,6 +191,8 @@ class LiveView:
         self._assembler = None
         self._last_volume_render = 0.0
         self.volume_renders = 0
+        # optional sample-view camera pane (/camera.png)
+        self._camera = None
 
         view = self
 
@@ -203,12 +210,23 @@ class LiveView:
                     body, ctype = view._enface_png or b"", "image/png"
                 elif path == "/volume.png":
                     body, ctype = view._volume_png or b"", "image/png"
+                elif path == "/camera.png":
+                    # sample-view video pane (CameraExtension analog of the
+                    # reference's Camera plugin, docs/docs/plugins.md:22-24)
+                    frame = (view._camera.current_frame()
+                             if view._camera is not None else None)
+                    if frame is None:
+                        self.send_error(404)
+                        return
+                    body, ctype = _encode_png(frame), "image/png"
                 elif path == "/ascan.json":
                     body = json.dumps({"values": view._ascan}).encode()
                     ctype = "application/json"
                 elif path == "/stats.json":
                     with view._lock:
-                        body = json.dumps(view._stats).encode()
+                        body = json.dumps(dict(
+                            view._stats,
+                            camera=view._camera is not None)).encode()
                     ctype = "application/json"
                 elif path == "/params.json":
                     c = view._controller
@@ -292,6 +310,11 @@ class LiveView:
 
         engine.on_processed = on_processed
         engine.on_metrics = on_metrics
+
+    def attach_camera(self, camera) -> None:
+        """Serve a CameraExtension's frames at /camera.png (the reference's
+        Camera plugin video pane, docs/docs/plugins.md:22-24)."""
+        self._camera = camera
 
     def update(self, volume: np.ndarray, buffer_nr: int = 0) -> None:
         """Render the latest processed buffer (throttled).

@@ -251,3 +251,85 @@ def test_socket_stream_roundtrip():
             assert "error" in read_frame(sf)
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# camera (reference Camera plugin analog, docs/docs/plugins.md:22-24)
+# ---------------------------------------------------------------------------
+
+def _camera_dir(tmp_path, n=3):
+    from PIL import Image
+
+    d = tmp_path / "cam"
+    d.mkdir()
+    for i in range(n):
+        Image.fromarray(np.full((8, 12, 3), 40 * i, np.uint8)).save(
+            d / f"f{i}.png")
+    return str(d)
+
+
+def test_directory_camera_cycles_and_snapshots(tmp_path):
+    from octproz_tpu.extensions import CameraExtension, DirectoryCamera
+
+    import time as _time
+
+    src = DirectoryCamera(_camera_dir(tmp_path), fps=10.0)
+    cam = CameraExtension(src)
+    seen = []
+    for i in range(4):
+        src._t0 = _time.monotonic() - i / src.fps  # advance the frame clock
+        f = cam.current_frame()
+        assert f.shape == (8, 12, 3) and f.dtype == np.uint8
+        seen.append(int(f[0, 0, 0]))
+    assert seen == [0, 40, 80, 0]  # cycles through all frames at fps
+    snap = cam.snapshot(str(tmp_path / "snap.png"))
+    assert snap and np.asarray(__import__("PIL.Image", fromlist=["Image"])
+                               .open(snap)).shape == (8, 12, 3)
+
+
+def test_callable_camera_and_empty_dir(tmp_path):
+    from octproz_tpu.extensions import CallableCamera, CameraExtension, \
+        DirectoryCamera
+
+    with pytest.raises(ValueError, match="no '\\*.png' frames"):
+        DirectoryCamera(str(tmp_path))
+    frames = [None, np.ones((4, 4), np.uint8)]
+    cam = CameraExtension(CallableCamera(lambda: frames.pop(0)
+                                         if frames else None))
+    assert cam.current_frame() is None      # nothing yet
+    assert cam.current_frame() is not None  # first real frame
+    assert cam.current_frame() is not None  # source dry: last frame sticks
+
+
+def test_live_view_serves_camera_pane(tmp_path):
+    import json as _json
+    import urllib.request
+
+    from octproz_tpu.extensions import CameraExtension, DirectoryCamera
+    from octproz_tpu.viz.live import LiveView
+
+    live = LiveView(port=0, throttle_s=0.0)
+    try:
+        # no camera attached: 404 + stats flag off
+        status, body = _get_live(live, "stats.json")
+        assert not _json.loads(body)["camera"]
+        try:
+            _get_live(live, "camera.png")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        cam = CameraExtension(DirectoryCamera(_camera_dir(tmp_path)))
+        live.attach_camera(cam)
+        status, body = _get_live(live, "camera.png")
+        assert status == 200 and body[:4] == b"\x89PNG"
+        _, body = _get_live(live, "stats.json")
+        assert _json.loads(body)["camera"]
+    finally:
+        live.close()
+
+
+def _get_live(live, path):
+    import urllib.request
+
+    with urllib.request.urlopen(live.url + path) as r:
+        return r.status, r.read()
