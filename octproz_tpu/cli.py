@@ -371,7 +371,8 @@ def cmd_replay(args) -> int:
     eng = StreamingEngine(model, src, stream_to_host=stream,
                           streaming_skip=skip, on_info=console.info,
                           metrics_window_s=args.metrics_window,
-                          dispatch_chunk=args.chunk)
+                          dispatch_chunk=args.chunk,
+                          chunk_strategy=args.chunk_strategy)
     live = None
     if args.live:
         from .viz.live import LiveView
@@ -597,9 +598,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="streaming buffers to skip")
     pr.add_argument("--chunk", type=int, default=1, metavar="K",
                     help="throughput mode: batch K buffers into ONE device "
-                         "dispatch (lax.scan step; amortizes per-dispatch "
-                         "latency on tunneled backends at the cost of K "
-                         "buffers of latency)")
+                         "dispatch (amortizes per-dispatch latency on "
+                         "tunneled backends at the cost of K buffers of "
+                         "latency)")
+    pr.add_argument("--chunk-strategy", choices=["auto", "scan", "batch"],
+                    default="auto",
+                    help="chunk dispatch: 'batch' = the fused batch-stream "
+                         "formulation (bench 'mega', fastest), 'scan' = "
+                         "lax.scan of per-buffer steps, 'auto' = batch "
+                         "when the config allows it")
     pr.add_argument("--metrics-window", type=float, default=5.0)
     rec = pr.add_argument_group("recording (octprozapp.cpp:215-299 analog)")
     rec.add_argument("--record-background", type=int, default=0, metavar="N",

@@ -171,19 +171,80 @@ class FdOctModel:
         processed, self.fpn_state = self._step(raw, self.curves, self.fpn_state)
         return processed
 
-    def process_chunk(self, raw_stack) -> jax.Array:
+    def process_chunk(self, raw_stack, strategy: str = "auto") -> jax.Array:
         """Throughput mode: a STACK of raw buffers (k, bscans, ascans,
-        samples) processed by ONE device dispatch (pipeline.make_scan_step,
-        lax.scan threading the FPN state buffer-to-buffer exactly like
-        repeated :meth:`process_buffer` calls).  Amortizes per-dispatch
-        latency on tunneled/remote backends; adds k buffers of latency."""
+        samples) processed by ONE device dispatch.  Amortizes per-dispatch
+        latency on tunneled/remote backends; adds k buffers of latency.
+
+        strategy:
+          * "scan"  — pipeline.make_scan_step: lax.scan threading the FPN
+            state buffer-to-buffer exactly like repeated process_buffer
+            calls.  Always available.
+          * "batch" — the batch-stream formulation (bench.py "mega",
+            measured 89.6 MHz vs 57.2 MHz for scan on v5e): the whole
+            stack runs as ONE fused kernel call on the flattened line axis
+            — no lax.scan, no per-buffer dynamic_slice feeding the opaque
+            pallas_call.  Bit-identical to scan after FPN determination
+            (tests/test_pallas.py::test_fused_scale_batch_matches_scan).
+            Requires the fused fold path and a constant FPN mean line
+            (mode OFF, or ONCE with the state already determined).
+          * "auto"  — "batch" whenever its conditions hold, else "scan".
+        """
         if self.mesh is not None:
             raise ValueError("process_chunk is single-device throughput "
                              "mode; on a mesh use process_buffer per buffer")
         raw_stack = jnp.asarray(raw_stack)
+        if strategy not in ("auto", "scan", "batch"):
+            raise ValueError("strategy must be 'auto', 'scan' or 'batch'")
+        if strategy != "scan" and self._batch_ready():
+            return self._batch_chunk(raw_stack)
+        if strategy == "batch":
+            raise ValueError(
+                "strategy='batch' needs fft_via_matmul + fused_scale + "
+                "fold_backend='pallas' + FPN OFF (or ONCE already "
+                "determined); use 'auto' to fall back to scan")
         step = pipeline.make_scan_step(self.acq, self.cfg)
         out, self.fpn_state = step(raw_stack, self.curves, self.fpn_state)
         return out
+
+    def _batch_ready(self) -> bool:
+        from ..params import FpnMode
+
+        cfg = self.cfg
+        fusable = (cfg.fft_via_matmul and cfg.fused_scale
+                   and cfg.fold_backend == "pallas"
+                   and cfg.fpn_mode in (FpnMode.OFF, FpnMode.ONCE))
+        if not fusable:
+            return False
+        if cfg.fpn_mode == FpnMode.ONCE:
+            # one scalar sync; True from the second chunk of a stream on
+            return bool(jax.device_get(self.fpn_state.determined))
+        return True
+
+    def _batch_chunk(self, raw_stack) -> jax.Array:
+        """One fused kernel over the whole stack; FPN state is unchanged
+        (the mean line is a constant input in this regime)."""
+        import dataclasses as _dc
+
+        from ..params import FpnMode
+        from ..pallas.fused_prep import fused_depth_scale
+
+        cfg = self.cfg
+        has_post = (cfg.bscan_flip or cfg.sinusoidal_correction
+                    or cfg.post_background_removal)
+        kcfg = (_dc.replace(cfg, output_dtype="float32")
+                if has_post and cfg.output_dtype == "bfloat16" else cfg)
+        mean = (jnp.zeros_like(self.fpn_state.mean_line)
+                if cfg.fpn_mode == FpnMode.OFF else self.fpn_state.mean_line)
+        mag = fused_depth_scale(raw_stack, self.curves.depth_op_re,
+                                self.curves.depth_op_im, mean,
+                                self.acq, kcfg)
+        if has_post:
+            mag = jax.vmap(
+                lambda m: pipeline.postprocess_volume(m, self.curves, cfg))(mag)
+        if cfg.output_dtype == "bfloat16" and mag.dtype != jnp.bfloat16:
+            mag = mag.astype(jnp.bfloat16)
+        return mag
 
     def process_volume(self, raw_volume) -> jax.Array:
         """raw uint (buffers, bscans, ascans, samples) or a single buffer ->

@@ -198,6 +198,7 @@ class StreamingEngine:
         max_in_flight: int = 2,
         prefetch_depth: int = 2,
         dispatch_chunk: int = 1,
+        chunk_strategy: str = "auto",
         metrics_window_s: float = 5.0,
         on_metrics: Optional[Callable[[ThroughputStats], None]] = None,
         on_processed: Optional[Callable[[np.ndarray, int], None]] = None,
@@ -212,11 +213,14 @@ class StreamingEngine:
         self.streaming_bit_depth = streaming_bit_depth or model.acq.bit_depth
         self.max_in_flight = max(1, max_in_flight)
         self.prefetch_depth = prefetch_depth
-        # >1: batch this many buffers into ONE device dispatch
-        # (pipeline.make_scan_step) -- throughput mode for tunneled/remote
-        # backends where per-dispatch latency dominates sub-3 ms kernels;
-        # costs dispatch_chunk buffers of latency (bench.py chunk analog)
+        # >1: batch this many buffers into ONE device dispatch -- throughput
+        # mode for tunneled/remote backends where per-dispatch latency
+        # dominates sub-3 ms kernels; costs dispatch_chunk buffers of
+        # latency (bench.py chunk analog).  chunk_strategy "auto" upgrades
+        # the lax.scan chunk to the batch-stream fused formulation
+        # (bench "mega") whenever the config allows it.
         self.dispatch_chunk = max(1, dispatch_chunk)
+        self.chunk_strategy = chunk_strategy
         self.on_metrics = on_metrics
         self.on_processed = on_processed
         self.on_info = on_info or (lambda msg: None)
@@ -405,7 +409,8 @@ class StreamingEngine:
                 dispatch_one(self.model.process_buffer(chunk_raws[0]),
                              first_nr)
             else:
-                outs = self.model.process_chunk(np.stack(chunk_raws))
+                outs = self.model.process_chunk(np.stack(chunk_raws),
+                                                strategy=self.chunk_strategy)
                 for i in range(outs.shape[0]):
                     dispatch_one(outs[i],
                                  (first_nr + i) % bufs_per_vol)

@@ -311,3 +311,47 @@ def test_recording_copies_settings_file(tmp_path):
     eng.run()
     copies = glob.glob(os.path.join(str(tmp_path), "*meta_settings.ini"))
     assert copies and "bitshift" in open(copies[0]).read()
+
+
+def test_dispatch_chunk_batch_strategy_matches_scan():
+    """chunk_strategy='auto' upgrades the scan chunk to the fused
+    batch-stream formulation (bench 'mega') once FPN is determined; the
+    streamed output must match the scan strategy exactly."""
+    cfg = dataclasses.replace(CFG, fpn_mode=FpnMode.ONCE, resampling=True,
+                              interpolation=Interpolation.CUBIC,
+                              dispersion=True, fft_via_matmul=True,
+                              fold_backend="pallas", fused_scale=True)
+
+    def run(strategy):
+        got = []
+        model = FdOctModel(ACQ, cfg,
+                           resample_coeffs=(0.0, ACQ.samples_per_line - 1.0,
+                                            0.0, 0.0),
+                           dispersion_coeffs=(0.0, 0.0, 4.0, 0.0))
+        source = SyntheticSource(ACQ, n_buffers=8)
+        eng = StreamingEngine(model, source, stream_to_host=True,
+                              dispatch_chunk=3, chunk_strategy=strategy,
+                              on_processed=lambda buf, nr: got.append(
+                                  (buf.copy(), nr)))
+        n = eng.run()
+        return n, got
+
+    n_s, scan = run("scan")
+    n_b, auto = run("auto")
+    assert n_s == n_b == 8
+    assert len(scan) == len(auto) == 8
+    for (a, na), (b, nb) in zip(scan, auto):
+        assert na == nb
+        np.testing.assert_allclose(a.astype(np.float64),
+                                   b.astype(np.float64), atol=1, rtol=0)
+
+
+def test_process_chunk_batch_requires_fused_config():
+    model = FdOctModel(ACQ, CFG,
+                       resample_coeffs=(0.0, ACQ.samples_per_line - 1.0,
+                                        0.0, 0.0))
+    raw = np.zeros((2,) + ACQ.buffer_shape, np.uint16)
+    with pytest.raises(ValueError, match="strategy='batch'"):
+        model.process_chunk(raw, strategy="batch")
+    with pytest.raises(ValueError, match="strategy"):
+        model.process_chunk(raw, strategy="bogus")
