@@ -40,6 +40,12 @@ def segment_sums(lines: jnp.ndarray, segments: int = FPN_SEGMENTS):
     division cuda_code.cu:531).
     """
     n_lines, width = lines.shape
+    if n_lines < segments:
+        raise ValueError(
+            f"fixed-pattern-noise determination needs at least {segments} "
+            f"A-scans (FPN_SEGMENTS, octalgorithmparameters.h:35) but got "
+            f"{n_lines}; raise bscans_for_noise or ascans_per_bscan, or "
+            f"disable FPN for this geometry")
     seg_width = max(n_lines // segments, 1)
     used = lines[: segments * seg_width].reshape(segments, seg_width, width)
     sum_z = jnp.sum(used, axis=1)
@@ -88,6 +94,12 @@ def segment_sums_planar(re: jnp.ndarray, im: jnp.ndarray,
     re/im: float32 (n_lines, width).  Returns (sum_re, sum_im, sum_sq,
     seg_width)."""
     n_lines, width = re.shape
+    if n_lines < segments:
+        raise ValueError(
+            f"fixed-pattern-noise determination needs at least {segments} "
+            f"A-scans (FPN_SEGMENTS, octalgorithmparameters.h:35) but got "
+            f"{n_lines}; raise bscans_for_noise or ascans_per_bscan, or "
+            f"disable FPN for this geometry")
     seg_width = max(n_lines // segments, 1)
     used_re = re[: segments * seg_width].reshape(segments, seg_width, width)
     used_im = im[: segments * seg_width].reshape(segments, seg_width, width)
