@@ -548,6 +548,32 @@ def main() -> None:
         plans.append(("xla", dict(os.environ, OCTPROZ_BENCH_ATTEMPT="xla",
                                   OCTPROZ_BENCH_FORCE_CPU="1")))
 
+    def tunnel_alive(timeout_s: float = 90.0) -> bool:
+        """Probe device-op liveness in a THROWAWAY subprocess (CLAUDE.md:
+        enumeration works even when execution hangs; a wedged probe must
+        not wedge this parent)."""
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; print(jnp.ones(4).sum())"],
+                capture_output=True, timeout=timeout_s)
+            return r.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
+    def wait_tunnel(max_wait_s: float = 600.0) -> bool:
+        """The tunnel wedge is transient: wait for revival between attempts
+        instead of burning a full attempt timeout on a dead link."""
+        t0 = time.monotonic()
+        while True:
+            if tunnel_alive():
+                return True
+            if time.monotonic() - t0 >= max_wait_s:
+                return False
+            print("bench: tunnel unresponsive; waiting for revival",
+                  file=sys.stderr)
+            time.sleep(60)
+
     def run_attempt(env, timeout_key="1200"):
         """One isolated subprocess attempt; returns the parsed JSON line or
         None (with the reason on stderr)."""
@@ -579,6 +605,9 @@ def main() -> None:
         if env.get("OCTPROZ_BENCH_FORCE_CPU"):
             print("bench: accelerator unavailable; measuring on CPU",
                   file=sys.stderr)
+        elif not wait_tunnel():
+            print(f"bench: skipping {backend} (tunnel dead)", file=sys.stderr)
+            continue
         record = run_attempt(env)
         if record is not None:
             headline_env = env
@@ -589,6 +618,7 @@ def main() -> None:
 
     if record.get("platform") == "tpu" and \
             not os.environ.get("OCTPROZ_BENCH_NO_ANNEX"):
+        wait_tunnel()
         # Annex 1: H2D-INCLUSIVE end-to-end rate for the headline config —
         # the apples-to-apples companion of the reference's 3.40 MHz, which
         # counts a real DMA of every raw buffer (cuda_code.cu:1400-1406).
@@ -603,6 +633,7 @@ def main() -> None:
         ladder = []
         for prec in ("high", "highest"):
             spec = f"pallas:8:float32:{prec}"
+            wait_tunnel()
             r = run_attempt(dict(os.environ, OCTPROZ_BENCH_ATTEMPT=spec))
             ladder.append(None if r is None else {
                 "matmul_precision": prec,
