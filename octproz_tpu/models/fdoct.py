@@ -62,6 +62,7 @@ class FdOctModel:
         self.curves: Curves = curves_mod.make_curves(acq, cfg, **self._curve_kwargs)
         self.fpn_state: FpnState = pipeline.initial_fpn_state(acq)
         self.mesh = mesh
+        self._batch_promoted = False  # see _batch_ready
         self._step = self._build_step()
 
     def _build_step(self):
@@ -141,6 +142,7 @@ class FdOctModel:
     def redetermine_fpn(self) -> None:
         """Reference: redetermineFixedPatternNoise request (cuda_code.cu:1521)."""
         self.fpn_state = pipeline.initial_fpn_state(self.acq)
+        self._batch_promoted = False
 
     def set_config(self, **changes) -> None:
         """Replace static ProcConfig fields mid-stream (grayscale range,
@@ -150,6 +152,7 @@ class FdOctModel:
         (cuda_code.cu:1448-1511).  Curve-only re-tuning (set_klin_coeffs
         etc.) stays recompile-free."""
         self.cfg = dataclasses.replace(self.cfg, **changes)
+        self._batch_promoted = False
         self._rebuild_curves()  # consumed curve set may change with the cfg
         self._step = self._build_step()
 
@@ -217,8 +220,14 @@ class FdOctModel:
         if not fusable:
             return False
         if cfg.fpn_mode == FpnMode.ONCE:
-            # one scalar sync; True from the second chunk of a stream on
-            return bool(jax.device_get(self.fpn_state.determined))
+            # the device_get is a host sync (a full RTT on a tunneled
+            # backend), so the promotion is CACHED: once determined the
+            # state stays determined until redetermine_fpn()/set_config()
+            # reset it (which also reset the cache)
+            if not self._batch_promoted:
+                self._batch_promoted = bool(
+                    jax.device_get(self.fpn_state.determined))
+            return self._batch_promoted
         return True
 
     def _batch_chunk(self, raw_stack) -> jax.Array:
