@@ -601,12 +601,17 @@ def main() -> None:
         return None
 
     record = None
+    tunnel_gone = False  # one failed revival wait disqualifies ALL TPU plans
     for backend, env in plans:
         if env.get("OCTPROZ_BENCH_FORCE_CPU"):
             print("bench: accelerator unavailable; measuring on CPU",
                   file=sys.stderr)
+        elif tunnel_gone:
+            continue
         elif not wait_tunnel():
-            print(f"bench: skipping {backend} (tunnel dead)", file=sys.stderr)
+            print("bench: tunnel never revived; falling through to CPU",
+                  file=sys.stderr)
+            tunnel_gone = True
             continue
         record = run_attempt(env)
         if record is not None:
@@ -618,23 +623,23 @@ def main() -> None:
 
     if record.get("platform") == "tpu" and \
             not os.environ.get("OCTPROZ_BENCH_NO_ANNEX"):
-        wait_tunnel()
         # Annex 1: H2D-INCLUSIVE end-to-end rate for the headline config —
         # the apples-to-apples companion of the reference's 3.40 MHz, which
         # counts a real DMA of every raw buffer (cuda_code.cu:1400-1406).
         # The headline `value` stays the device-resident compute rate;
         # `e2e` records what a host-fed stream achieves through the
         # host->device link of THIS environment (a tunnel here).
-        record["e2e"] = run_attempt(dict(headline_env,
-                                         OCTPROZ_BENCH_MODE="e2e"))
+        record["e2e"] = (run_attempt(dict(headline_env,
+                                          OCTPROZ_BENCH_MODE="e2e"))
+                         if wait_tunnel() else None)
         # Annex 2: the fidelity ladder, timed on hardware — MHz + oracle
         # PSNR per rung (VERDICT r2: the high/highest throughput rows were
         # never recorded).  Same chunked dispatch as the headline.
         ladder = []
         for prec in ("high", "highest"):
             spec = f"pallas:8:float32:{prec}"
-            wait_tunnel()
-            r = run_attempt(dict(os.environ, OCTPROZ_BENCH_ATTEMPT=spec))
+            r = (run_attempt(dict(os.environ, OCTPROZ_BENCH_ATTEMPT=spec))
+                 if wait_tunnel() else None)
             ladder.append(None if r is None else {
                 "matmul_precision": prec,
                 "value": r.get("value"),

@@ -225,16 +225,8 @@ def _build_config(args, bundle=None):
     if "fpn" in a:
         cfg_over["fpn_mode"] = FpnMode(a["fpn"])
 
-    acq_kw = dict(bundle.acq_kwargs)
-    acq_kw.update(acq_over)
-    missing = [f for f in ("samples_per_line", "ascans_per_bscan",
-                           "bscans_per_buffer") if f not in acq_kw]
-    if missing:
-        raise ValueError(
-            "acquisition geometry required: pass --samples/--ascans/--bscans "
-            "or provide them in the settings file "
-            f"(missing: {', '.join(missing)})")
-    acq, cfg = configmap.build_config(bundle, acq_over, cfg_over)
+    acq, cfg = configmap.build_config(bundle, acq_over, cfg_over,
+                                      require_geometry=True)
 
     # curve / model kwargs: settings first, CLI flags override
     model_kw = dict(
@@ -361,6 +353,8 @@ def cmd_replay(args) -> int:
                            total_buffers_to_acquire=args.max_buffers,
                            **_source_kwargs(args, bundle))
     console = MessageConsole(echo=True)
+    if args.camera_dir and not args.live:
+        args.live = True  # the pane only exists in the live viewer
     # streaming enable/decimation: settings-file values under the CLI flags
     # (STREAM_STREAMING / STREAM_STREAMING_SKIP analog)
     stream_file = bundle.streaming.get("stream_to_host", False)
@@ -517,8 +511,10 @@ def cmd_settings(args) -> int:
 
     bundle = _load_bundle(args)
     a = vars(args)
+    # Saving only passes the custom-curve PATH through; never load/validate
+    # the CSV here (a settings file must be re-savable without its sidecar)
     custom_csv = a.pop("klin_curve_csv", None) \
-        or bundle.curve_kwargs.get("custom_resampling_filepath")
+        or bundle.curve_kwargs.pop("custom_resampling_filepath", None)
     defaults = AcqParams()
     for field in _ACQ_FLAGS.values():
         bundle.acq_kwargs.setdefault(field, getattr(defaults, field))
@@ -636,7 +632,7 @@ def build_parser() -> argparse.ArgumentParser:
     live.add_argument("--camera-dir", default=None, metavar="PATH",
                       help="serve a sample-view camera pane from image "
                            "files in PATH (Camera extension analog; cycles "
-                           "frames at --camera-fps)")
+                           "frames at --camera-fps; implies --live)")
     live.add_argument("--camera-fps", type=float, default=10.0)
     pr.set_defaults(fn=cmd_replay)
 

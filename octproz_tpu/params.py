@@ -267,8 +267,11 @@ class ProcConfig:
             raise ValueError("output_dtype must be 'float32' or 'bfloat16'")
         if self.fold_k_split < 1:
             raise ValueError("fold_k_split must be >= 1")
-        if self.pallas_tile < 0:
-            raise ValueError("pallas_tile must be >= 0 (0 = auto)")
+        if self.pallas_tile != 0 and self.pallas_tile < 8:
+            raise ValueError(
+                "pallas_tile must be 0 (auto) or >= 8 (the smallest kernel "
+                "tile; a cap below every candidate would silently fall back "
+                "to one whole-buffer tile)")
 
 
 def default_full_config() -> ProcConfig:

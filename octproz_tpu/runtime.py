@@ -401,19 +401,29 @@ class StreamingEngine:
                     self.on_metrics(stats)
 
         def flush_chunk() -> None:
-            """Dispatch the accumulated raw buffers as ONE scan step."""
+            """Dispatch the accumulated raw buffers as ONE scan step.
+
+            A partial tail (the stream length is rarely a chunk multiple)
+            falls back to the per-buffer step: a chunk of a NEW stack shape
+            would force a fresh compile — 80-300+ s on a remote-compile
+            tunnel — just to finish the last few buffers, while the
+            per-buffer executable is one compile reusable for any tail."""
             if not chunk_raws:
                 return
-            first_nr = processed_count % bufs_per_vol
-            if len(chunk_raws) == 1:
-                dispatch_one(self.model.process_buffer(chunk_raws[0]),
-                             first_nr)
+            if len(chunk_raws) < self.dispatch_chunk:
+                for raw in chunk_raws:
+                    if self._stop_requested.is_set():
+                        break
+                    dispatch_one(self.model.process_buffer(raw),
+                                 processed_count % bufs_per_vol)
             else:
+                first_nr = processed_count % bufs_per_vol
                 outs = self.model.process_chunk(np.stack(chunk_raws),
                                                 strategy=self.chunk_strategy)
                 for i in range(outs.shape[0]):
-                    dispatch_one(outs[i],
-                                 (first_nr + i) % bufs_per_vol)
+                    if self._stop_requested.is_set():
+                        break  # stop() / stop_after_record honored mid-chunk
+                    dispatch_one(outs[i], (first_nr + i) % bufs_per_vol)
             chunk_raws.clear()
 
         try:
@@ -441,7 +451,8 @@ class StreamingEngine:
 
                 dispatch_one(self.model.process_buffer(raw), buffer_nr)
 
-            flush_chunk()  # partial tail chunk (or single-buffer mode: no-op)
+            if not self._stop_requested.is_set():
+                flush_chunk()  # partial tail (single-buffer mode: no-op)
             while in_flight:
                 self._drain_one(in_flight)
             # make the final dispatched step's completion observable

@@ -291,11 +291,22 @@ def to_settings(
 
 def build_config(bundle: SettingsBundle,
                  acq_overrides: Optional[Dict[str, Any]] = None,
-                 cfg_overrides: Optional[Dict[str, Any]] = None):
+                 cfg_overrides: Optional[Dict[str, Any]] = None,
+                 require_geometry: bool = False):
     """(AcqParams, ProcConfig) from a bundle + optional override dicts
-    (CLI flags win over file values; dataclass defaults fill the rest)."""
+    (CLI flags win over file values; dataclass defaults fill the rest).
+    ``require_geometry`` raises unless the merged kwargs pin the buffer
+    geometry explicitly (instead of silently using dataclass defaults)."""
     acq_kw = dict(bundle.acq_kwargs)
     acq_kw.update(acq_overrides or {})
     cfg_kw = dict(bundle.cfg_kwargs)
     cfg_kw.update(cfg_overrides or {})
+    if require_geometry:
+        missing = [f for f in ("samples_per_line", "ascans_per_bscan",
+                               "bscans_per_buffer") if f not in acq_kw]
+        if missing:
+            raise ValueError(
+                "acquisition geometry required: pass --samples/--ascans/"
+                "--bscans or provide them in the settings file "
+                f"(missing: {', '.join(missing)})")
     return AcqParams(**acq_kw), ProcConfig(**cfg_kw)
