@@ -202,11 +202,40 @@ def _load_bundle(args):
     return from_settings(SettingsManager(args.settings))
 
 
-def _build_config(args, bundle=None):
+def _maybe_system_source(args, bundle):
+    """Activate a registered acquisition system when the input spec is
+    ``system:NAME`` (the SystemChooser analog for the CLI); else None.
+
+    Systems read their device settings from the ``[system:NAME]`` group of
+    the ``--settings`` INI (storeSettings/settingsLoaded round-trip,
+    plugin.h:43-45)."""
+    spec = getattr(args, "input", None)
+    if not (isinstance(spec, str) and spec.startswith("system:")):
+        return None
+    from .io import phytooct
+    from .io.systems import SystemRegistry
+
+    manager = None
+    if getattr(args, "settings", None):
+        from .utils.settings import SettingsManager
+
+        manager = SettingsManager(args.settings)
+    registry = SystemRegistry(manager)
+    phytooct.register(registry)
+    return registry.activate(spec.split(":", 1)[1])
+
+
+def _build_config(args, bundle=None, system=None):
     """Resolve (AcqParams, ProcConfig, model kwargs): built-in defaults,
     overlaid with every recognized settings-file key, overlaid with the CLI
     flags the user actually passed (argparse.SUPPRESS defaults make the
-    'actually passed' set exact)."""
+    'actually passed' set exact).
+
+    With ``system`` (an activated acquisition system), the device supplies
+    the base instead: its geometry, its recommended processing chain, and
+    its factory calibration — the analog of a plugin pushing
+    setKLinCoeffsRequest/setCustomResamplingCurveRequest (plugin.h:82-86).
+    Settings-file values and explicit CLI flags still overlay it."""
     from .params import FpnMode, Interpolation, WindowType
     from .utils import configmap
 
@@ -225,8 +254,21 @@ def _build_config(args, bundle=None):
     if "fpn" in a:
         cfg_over["fpn_mode"] = FpnMode(a["fpn"])
 
-    acq, cfg = configmap.build_config(bundle, acq_over, cfg_over,
-                                      require_geometry=True)
+    if system is not None:
+        import dataclasses as _dc
+
+        acq = system.acq  # the device owns its geometry
+        base = (system.recommended_config()
+                if hasattr(system, "recommended_config") else None)
+        if base is not None:
+            merged = dict(bundle.cfg_kwargs)
+            merged.update(cfg_over)
+            cfg = _dc.replace(base, **merged)
+        else:
+            _, cfg = configmap.build_config(bundle, None, cfg_over)
+    else:
+        acq, cfg = configmap.build_config(bundle, acq_over, cfg_over,
+                                          require_geometry=True)
 
     # curve / model kwargs: settings first, CLI flags override
     model_kw = dict(
@@ -236,6 +278,8 @@ def _build_config(args, bundle=None):
         window_center=0.5,
         window_fill_factor=1.0,
     )
+    if system is not None and hasattr(system, "curve_kwargs"):
+        model_kw.update(system.curve_kwargs())  # factory calibration
     ck = dict(bundle.curve_kwargs)
     custom_csv = ck.pop("custom_resampling_filepath", None)
     model_kw.update(ck)
@@ -347,11 +391,13 @@ def cmd_replay(args) -> int:
     from .utils.console import MessageConsole
 
     bundle = _load_bundle(args)
-    acq, cfg, model_kw = _build_config(args, bundle)
+    system = _maybe_system_source(args, bundle)
+    acq, cfg, model_kw = _build_config(args, bundle, system=system)
     model = FdOctModel(acq, cfg, **model_kw)
-    src = VirtualOctSource(args.input, acq, wait_time_us=args.wait_us,
-                           total_buffers_to_acquire=args.max_buffers,
-                           **_source_kwargs(args, bundle))
+    src = system or VirtualOctSource(
+        args.input, acq, wait_time_us=args.wait_us,
+        total_buffers_to_acquire=args.max_buffers,
+        **_source_kwargs(args, bundle))
     console = MessageConsole(echo=True)
     if args.camera_dir and not args.live:
         args.live = True  # the pane only exists in the live viewer
@@ -418,6 +464,8 @@ def cmd_replay(args) -> int:
     t0 = time.perf_counter()
     n = eng.run(max_buffers=args.max_buffers)
     dt = time.perf_counter() - t0
+    if system is not None:
+        system.close()  # join the device producer thread
     if live is not None:
         live.close()
     print(json.dumps({
@@ -583,7 +631,11 @@ def build_parser() -> argparse.ArgumentParser:
     pp.set_defaults(fn=cmd_process)
 
     pr = sub.add_parser("replay", help="stream a file through the runtime")
-    pr.add_argument("input")
+    pr.add_argument("input",
+                    help="raw volume file, or 'system:NAME' to stream from "
+                         "a registered acquisition system (e.g. "
+                         "system:phytooct); device settings come from the "
+                         "[system:NAME] group of --settings")
     _add_acq_args(pr)
     _add_proc_args(pr)
     pr.add_argument("--max-buffers", type=int, default=None)

@@ -128,3 +128,33 @@ def test_process_with_mesh(tmp_path, capsys):
     assert rc == 0
     vol = np.fromfile(out, np.float32)
     assert vol.size == 4 * 8 * 32
+
+
+def test_replay_from_acquisition_system(tmp_path, capsys):
+    """'system:phytooct' streams from the registered portable system with
+    its device settings read from the [system:phytooct] INI group."""
+    ini = tmp_path / "s.ini"
+    ini.write_text("[system:phytooct]\n"
+                   "samples_per_line = 128\nascans_per_bscan = 16\n"
+                   "bscans_per_buffer = 2\nbuffers_per_volume = 3\n"
+                   "exposure_us = 0.0\n")
+    rc = main(["replay", "system:phytooct", "--settings", str(ini),
+               "--metrics-window", "0.5"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["buffers_processed"] == 3
+
+
+def test_replay_system_cli_flags_override_device_defaults(tmp_path, capsys):
+    ini = tmp_path / "s.ini"
+    ini.write_text("[system:phytooct]\n"
+                   "samples_per_line = 128\nascans_per_bscan = 16\n"
+                   "bscans_per_buffer = 2\nbuffers_per_volume = 2\n"
+                   "exposure_us = 0.0\n")
+    # the device recommends sinusoidal correction; an explicit flag set
+    # still wins (here: turn FPN off and cap buffers)
+    rc = main(["replay", "system:phytooct", "--settings", str(ini),
+               "--fpn", "off", "--max-buffers", "1"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["buffers_processed"] == 1
