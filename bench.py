@@ -561,9 +561,15 @@ def main() -> None:
         except subprocess.TimeoutExpired:
             return False
 
-    def wait_tunnel(max_wait_s: float = 600.0) -> bool:
-        """The tunnel wedge is transient: wait for revival between attempts
-        instead of burning a full attempt timeout on a dead link."""
+    def wait_tunnel(max_wait_s: float = None) -> bool:
+        """The tunnel wedge is transient but can last tens of minutes: wait
+        for revival between attempts instead of burning a full attempt
+        timeout on a dead link (wedges >30 min have been observed; a
+        CPU-only record because we gave up 10 min too early is the worse
+        outcome)."""
+        if max_wait_s is None:
+            max_wait_s = float(os.environ.get("OCTPROZ_BENCH_TUNNEL_WAIT",
+                                              "1800"))
         t0 = time.monotonic()
         while True:
             if tunnel_alive():
@@ -629,9 +635,11 @@ def main() -> None:
         # The headline `value` stays the device-resident compute rate;
         # `e2e` records what a host-fed stream achieves through the
         # host->device link of THIS environment (a tunnel here).
+        # annexes are optional: don't hold the round hostage to a second
+        # long revival wait once the headline is in hand
         record["e2e"] = (run_attempt(dict(headline_env,
                                           OCTPROZ_BENCH_MODE="e2e"))
-                         if wait_tunnel() else None)
+                         if wait_tunnel(600.0) else None)
         # Annex 2: the fidelity ladder, timed on hardware — MHz + oracle
         # PSNR per rung (VERDICT r2: the high/highest throughput rows were
         # never recorded).  Same chunked dispatch as the headline.
@@ -639,7 +647,7 @@ def main() -> None:
         for prec in ("high", "highest"):
             spec = f"pallas:8:float32:{prec}"
             r = (run_attempt(dict(os.environ, OCTPROZ_BENCH_ATTEMPT=spec))
-                 if wait_tunnel() else None)
+                 if wait_tunnel(600.0) else None)
             ladder.append(None if r is None else {
                 "matmul_precision": prec,
                 "value": r.get("value"),
