@@ -257,6 +257,11 @@ def _build_config(args, bundle=None, system=None):
     if system is not None:
         import dataclasses as _dc
 
+        if acq_over:
+            raise SystemExit(
+                "acquisition geometry flags cannot override a system: "
+                "source — the device owns its geometry; set "
+                f"{sorted(acq_over)} in the [system:NAME] settings group")
         acq = system.acq  # the device owns its geometry
         base = (system.recommended_config()
                 if hasattr(system, "recommended_config") else None)
@@ -280,9 +285,18 @@ def _build_config(args, bundle=None, system=None):
     )
     if system is not None and hasattr(system, "curve_kwargs"):
         model_kw.update(system.curve_kwargs())  # factory calibration
+    # what a partially-specified INI coefficient tuple falls back to, slot
+    # by slot (None marks unspecified slots, utils/configmap.py)
+    coeff_base = {f: model_kw[f]
+                  for f in ("resample_coeffs", "dispersion_coeffs")}
     ck = dict(bundle.curve_kwargs)
     custom_csv = ck.pop("custom_resampling_filepath", None)
     model_kw.update(ck)
+    for field, base in coeff_base.items():
+        v = model_kw[field]
+        if any(x is None for x in v):
+            model_kw[field] = tuple(b if x is None else x
+                                    for x, b in zip(v, base))
     if "klin_coeffs" in a:
         model_kw["resample_coeffs"] = tuple(a["klin_coeffs"])
     if "disp_coeffs" in a:
@@ -560,9 +574,12 @@ def cmd_settings(args) -> int:
     bundle = _load_bundle(args)
     a = vars(args)
     # Saving only passes the custom-curve PATH through; never load/validate
-    # the CSV here (a settings file must be re-savable without its sidecar)
-    custom_csv = a.pop("klin_curve_csv", None) \
-        or bundle.curve_kwargs.pop("custom_resampling_filepath", None)
+    # the CSV here (a settings file must be re-savable without its sidecar).
+    # Pop BOTH sources unconditionally or the base file's path would leak
+    # into _build_config and get loaded.
+    cli_csv = a.pop("klin_curve_csv", None)
+    base_csv = bundle.curve_kwargs.pop("custom_resampling_filepath", None)
+    custom_csv = cli_csv or base_csv
     defaults = AcqParams()
     for field in _ACQ_FLAGS.values():
         bundle.acq_kwargs.setdefault(field, getattr(defaults, field))

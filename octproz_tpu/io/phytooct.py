@@ -165,9 +165,11 @@ class PhytoDeviceModel:
         """One B-scan (ascans, samples) uint16: 12-bit ADC codes left-shifted
         by 4 (12-in-16-bit digitizer format, docs/docs/processing.md:18) —
         decode with ``ProcConfig(bitshift=True)``."""
-        # even frames scan backwards: ops.postprocess.bscan_flip reverses
-        # even indices, restoring them
-        reverse = self.cfg.bidirectional and (bscan_index % 2 == 0)
+        # Even WITHIN-BUFFER frames scan backwards: ops.postprocess.
+        # bscan_flip reverses even within-buffer indices, restoring them —
+        # global parity would desync for odd bscans_per_buffer.
+        within = bscan_index % self.cfg.bscans_per_buffer
+        reverse = self.cfg.bidirectional and (within % 2 == 0)
         spec = self._ascan_spectrum(self.scan_positions(reverse),
                                     noise_key=bscan_index)
         codes = (spec * 4096.0).astype(np.uint16)

@@ -228,7 +228,9 @@ class ProcConfig:
     fold_concat: bool = False
     # Split the contraction dim into this many independent decode->partial-
     # GEMM chains so Mosaic can overlap the VPU integer decode of chunk j+1
-    # with the MXU pass of chunk j.  1 = no split.
+    # with the MXU pass of chunk j.  1 = no split.  Like fast_log, only
+    # implemented for the default single-GEMM kernels: the manual
+    # matmul_precision="high"/"highest" split kernels ignore both.
     fold_k_split: int = 1
     # Exponent-extraction polynomial log2 instead of the transcendental
     # log10 in the scale epilogue (the analog of the reference's
@@ -267,6 +269,10 @@ class ProcConfig:
             raise ValueError("output_dtype must be 'float32' or 'bfloat16'")
         if self.fold_k_split < 1:
             raise ValueError("fold_k_split must be >= 1")
+        if self.fold_concat and (self.fast_log or self.fold_k_split > 1):
+            raise ValueError(
+                "fast_log / fold_k_split are not implemented for the "
+                "concat fold kernel; disable fold_concat to use them")
         if self.pallas_tile != 0 and self.pallas_tile < 8:
             raise ValueError(
                 "pallas_tile must be 0 (auto) or >= 8 (the smallest kernel "

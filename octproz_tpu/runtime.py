@@ -286,7 +286,14 @@ class StreamingEngine:
         def start() -> bool:
             if self.recording:
                 return False  # overlap protection
-            self.start_recording(params)
+            # stop_after_record must not kill the series after recording 1:
+            # honor it only on the final recording (REC_STOP + scheduler,
+            # octprozapp.cpp:424-446, recordingscheduler.cpp:131-155)
+            last = (self.scheduler is None
+                    or self.scheduler.done >= self.scheduler.total - 1)
+            self.start_recording(
+                params if last else
+                dataclasses.replace(params, stop_after_record=False))
             return True
 
         self.scheduler = RecordingScheduler(start, delay_s, interval_s, total,
@@ -388,7 +395,8 @@ class StreamingEngine:
             processed_count += 1
             if self._stop_after_record and not self.recording:
                 # auto-stop once the recording finished (REC_STOP,
-                # octprozapp.cpp:424-446); scheduled series never set it
+                # octprozapp.cpp:424-446); a scheduled series only sets it
+                # on its final recording (see schedule_recordings)
                 self._stop_after_record = False
                 self.on_info("recording complete: stopping stream")
                 self._stop_requested.set()
@@ -501,6 +509,7 @@ class StreamingEngine:
         (screenshot fan-out analog, octprozapp.cpp:266-292)."""
         from .viz import (RenderMode, RenderParams, render_volume,
                           save_bscan_png, save_enface_png, save_png)
+        from .viz.render import cpu_device
 
         base = self.processed_recorder.last_file[:-4]
         vol = host_buffer.astype(np.float32)
@@ -511,9 +520,12 @@ class StreamingEngine:
                            frame_nr=vol.shape[0] // 2)
             save_enface_png(base + "_enface.png", vol,
                             depth_nr=vol.shape[2] // 2)
+            # pinned to the CPU backend: a mid-stream raycast on a tunneled
+            # accelerator would stall (or wedge) the pipeline it shares
             img = render_volume(vol, RenderParams(mode=RenderMode.MIP,
                                                   step_length=0.02),
-                                yaw=0.5, pitch=0.4, out_shape=(256, 256))
+                                yaw=0.5, pitch=0.4, out_shape=(256, 256),
+                                device=cpu_device())
             save_png(base + "_volume.png", img)
             self.on_info(f"screenshots saved: {base}_*.png")
         except Exception as e:  # screenshots must never kill the stream

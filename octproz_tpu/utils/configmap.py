@@ -199,8 +199,11 @@ def from_settings(sm: SettingsManager) -> SettingsBundle:
               "dispersion_compensation_d2", "dispersion_compensation_d3"])):
         if any(k in proc for k in keys):
             try:
+                # Missing slots stay None: the consumer overlays them on
+                # its defaults (identity resampling is (0, N-1, 0, 0) — a
+                # zero-fill would collapse the curve to sample 0).
                 b.curve_kwargs[field] = tuple(
-                    float(proc.get(k, "0")) for k in keys)
+                    float(proc[k]) if k in proc else None for k in keys)
             except ValueError as e:
                 raise ValueError(f"settings [{PROC}] {prefix}0..3: {e}") from e
     if "window_type" in proc:
@@ -214,6 +217,15 @@ def from_settings(sm: SettingsManager) -> SettingsBundle:
             and proc.get("custom_resampling_filepath")):
         b.curve_kwargs["custom_resampling_filepath"] = \
             proc["custom_resampling_filepath"]
+
+    # Legacy keys the round-2 CLI read from [processing] (its
+    # _apply_settings_file); the canonical locations above win.
+    if "klin_coeffs" in proc and "resample_coeffs" not in b.curve_kwargs:
+        b.curve_kwargs["resample_coeffs"] = tuple(
+            float(x) for x in proc["klin_coeffs"].split(","))
+    for key in ("compute_dtype", "matmul_precision", "output_dtype"):
+        if key in proc:
+            b.cfg_kwargs.setdefault(key, proc[key])
     return b
 
 

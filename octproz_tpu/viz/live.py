@@ -373,12 +373,9 @@ class LiveView:
         backend can wedge under concurrent load; and the reference's display
         path never stalls processing either, glwindow3d.cpp:316-323)."""
         if not hasattr(self, "_cpu_dev"):
-            import jax
+            from .render import cpu_device
 
-            try:
-                self._cpu_dev = jax.local_devices(backend="cpu")[0]
-            except RuntimeError:
-                self._cpu_dev = None
+            self._cpu_dev = cpu_device()
         return self._cpu_dev
 
     def _render_assembled_volume(self) -> Optional[bytes]:

@@ -289,6 +289,21 @@ def _render(volume, depth_tex, rot, lut, params: RenderParams,
     return jnp.power(jnp.clip(colour, 0.0, 1.0), 1.0 / params.gamma)
 
 
+def cpu_device():
+    """The CPU jax device (or None if that backend is unavailable).
+
+    Any render issued from the serving/streaming path must pass this as
+    ``render_volume(device=...)`` so it never contends with the pipeline's
+    accelerator — a tunneled TPU backend can wedge under concurrent load,
+    and the reference's display path never stalls processing either
+    (glwindow3d.cpp:316-323).
+    """
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def render_volume(
     volume,
     params: RenderParams = RenderParams(),

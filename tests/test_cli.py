@@ -158,3 +158,10 @@ def test_replay_system_cli_flags_override_device_defaults(tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["buffers_processed"] == 1
+
+
+def test_replay_system_rejects_cli_geometry_flags(tmp_path, capsys):
+    """The device owns its geometry: explicit --samples with a system:
+    source is an error, not a silent no-op."""
+    with pytest.raises(SystemExit, match="geometry"):
+        main(["replay", "system:phytooct", "--samples", "2048"])

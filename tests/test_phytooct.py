@@ -142,3 +142,20 @@ def test_make_system_defaults():
     sys_ = make_system({})
     assert sys_.acq.samples_per_line == 1024
     sys_.close()
+
+
+def test_bidirectional_parity_is_within_buffer():
+    """With odd bscans_per_buffer, frame reversal must follow WITHIN-buffer
+    parity (what ops.postprocess.bscan_flip un-reverses), not global frame
+    parity."""
+    cfg = PhytoDeviceConfig(**{**SMALL, "bscans_per_buffer": 3,
+                               "surface_tilt": 0.16, "n_layers": 0,
+                               "fpn_strength": 0.0})
+    model = PhytoDeviceModel(cfg)
+    # buffer 1 holds global frames 3,4,5 -> within-buffer 0,1,2
+    buf = model.buffer(1)
+    fwd = model._ascan_spectrum(model.scan_positions(False), noise_key=4)
+    rev = model._ascan_spectrum(model.scan_positions(True), noise_key=3)
+    codes = lambda s: (s * 4096.0).astype(np.uint16) << 4
+    np.testing.assert_array_equal(buf[0], codes(rev))   # within-index 0: reversed
+    np.testing.assert_array_equal(buf[1], codes(fwd))   # within-index 1: forward

@@ -355,3 +355,44 @@ def test_process_chunk_batch_requires_fused_config():
         model.process_chunk(raw, strategy="batch")
     with pytest.raises(ValueError, match="strategy"):
         model.process_chunk(raw, strategy="bogus")
+
+
+def test_scheduled_series_honors_stop_after_record_only_at_the_end(tmp_path):
+    """stop_after_record in the params of a scheduled series must not kill
+    the stream after recording 1; it stops the stream after the FINAL
+    recording of the series."""
+    eng = make_engine(n_buffers=None)  # endless source
+    params = RecordingParams(save_dir=str(tmp_path), name="series",
+                             buffers_to_record=1, save_raw=True,
+                             save_meta=False, stop_after_record=True)
+    eng.schedule_recordings(params, interval_s=0.0, total=3)
+    n = eng.run(max_buffers=200)
+    raws = glob.glob(str(tmp_path / "*series_raw*.raw"))
+    assert len(raws) == 3          # all three recordings happened
+    assert n < 200                 # ... and the stream then auto-stopped
+    assert eng.scheduler.done == 3
+
+
+def test_recording_screenshots_render_on_cpu(tmp_path, monkeypatch):
+    """The screenshot raycast must be pinned to the CPU backend: a
+    mid-stream render on a tunneled accelerator can stall or wedge the
+    pipeline (same rule as the live viewer, glwindow3d.cpp:316-323)."""
+    import octproz_tpu.viz as viz
+    from octproz_tpu.viz.render import cpu_device
+
+    seen = []
+    real = viz.render_volume
+
+    def spy(*a, **kw):
+        seen.append(kw.get("device"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(viz, "render_volume", spy)
+    eng = make_engine(n_buffers=4, stream_to_host=True)
+    eng.start_recording(RecordingParams(
+        save_dir=str(tmp_path), name="shot", buffers_to_record=1,
+        save_raw=False, save_processed=True, save_meta=False,
+        save_screenshots=True))
+    eng.run()
+    assert seen and all(d is not None and d == cpu_device() for d in seen)
+    assert glob.glob(str(tmp_path / "*_volume.png"))

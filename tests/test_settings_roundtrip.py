@@ -70,9 +70,11 @@ def test_random_config_roundtrip(tmp_path, seed):
         matmul_precision=str(rng.choice(["default", "high", "highest"])),
         use_pallas_prep=flip(), fft_via_matmul=flip(),
         fold_backend=str(rng.choice(["pallas", "xla"])),
-        fused_scale=flip(), fold_concat=flip(),
-        fold_k_split=int(rng.integers(1, 5)),
-        fast_log=flip(), pallas_tile=int(rng.choice([0, 128, 512])),
+        fused_scale=flip(), fold_concat=(concat := flip()),
+        # fast_log / fold_k_split are rejected alongside fold_concat
+        fold_k_split=1 if concat else int(rng.integers(1, 5)),
+        fast_log=False if concat else flip(),
+        pallas_tile=int(rng.choice([0, 128, 512])),
         output_dtype=str(rng.choice(["float32", "bfloat16"])),
     )
     curve_kw = dict(
@@ -199,3 +201,66 @@ def test_cli_settings_drive_process_and_flags_override(tmp_path):
                                       str(ini)])
     _, cfg, _ = _build_config(args)
     assert cfg.compute_dtype == "bfloat16"  # file value without the flag
+
+
+def test_partial_coefficient_keys_keep_identity_defaults(tmp_path):
+    """A file specifying only resampling_c2 overlays it on the identity
+    curve (0, N-1, 0, 0) instead of zero-filling c1 (which would collapse
+    the curve to sample 0)."""
+    ini = tmp_path / "partial.ini"
+    ini.write_text("[processing]\nresampling_c2 = 20.0\n")
+    b = configmap.from_settings(SettingsManager(str(ini)))
+    assert b.curve_kwargs["resample_coeffs"] == (None, None, 20.0, None)
+
+    import argparse
+
+    from octproz_tpu.cli import _build_config
+
+    ns = argparse.Namespace(settings=str(ini), samples=128, ascans=8,
+                            bscans=4)
+    acq, cfg, model_kw = _build_config(ns)
+    assert model_kw["resample_coeffs"] == (0.0, 127.0, 20.0, 0.0)
+
+
+def test_legacy_processing_group_keys_still_apply(tmp_path):
+    """Keys the round-2 CLI read from [processing] (klin_coeffs +
+    dtype/precision) keep working; canonical locations win when both
+    are present."""
+    ini = tmp_path / "legacy.ini"
+    ini.write_text("[processing]\n"
+                   "klin_coeffs = 1.0,100.0,2.0,3.0\n"
+                   "compute_dtype = bfloat16\n"
+                   "matmul_precision = high\n")
+    b = configmap.from_settings(SettingsManager(str(ini)))
+    assert b.curve_kwargs["resample_coeffs"] == (1.0, 100.0, 2.0, 3.0)
+    assert b.cfg_kwargs["compute_dtype"] == "bfloat16"
+    assert b.cfg_kwargs["matmul_precision"] == "high"
+
+    both = tmp_path / "both.ini"
+    both.write_text("[processing]\ncompute_dtype = bfloat16\n"
+                    "[tpu]\ncompute_dtype = float32\n")
+    b2 = configmap.from_settings(SettingsManager(str(both)))
+    assert b2.cfg_kwargs["compute_dtype"] == "float32"  # canonical wins
+
+
+def test_settings_save_never_loads_the_base_custom_curve(tmp_path, capsys):
+    """save with a base file whose custom_resampling_filepath no longer
+    exists must still succeed (the CSV is passed through, never loaded)."""
+    base = tmp_path / "base.ini"
+    base.write_text("[acquisition]\nsamples_per_line = 128\n"
+                    "ascans_per_bscan = 8\nbscans_per_buffer = 4\n"
+                    "[processing]\ncustom_resampling = 1\n"
+                    "custom_resampling_filepath = /nope/gone.csv\n")
+    out = tmp_path / "out.ini"
+    rc = main(["settings", "save", str(out), "--settings", str(base),
+               "--klin-curve-csv", str(tmp_path / "new.csv")])
+    assert rc == 0
+    saved = SettingsManager(str(out)).get_group("processing")
+    assert saved["custom_resampling_filepath"] == str(tmp_path / "new.csv")
+
+
+def test_fold_concat_rejects_inert_knobs():
+    with pytest.raises(ValueError, match="concat"):
+        ProcConfig(fold_concat=True, fast_log=True)
+    with pytest.raises(ValueError, match="concat"):
+        ProcConfig(fold_concat=True, fold_k_split=2)
