@@ -346,17 +346,31 @@ def cmd_process(args) -> int:
     from .viz import builtin_lut, save_bscan_png, save_enface_png
 
     bundle = _load_bundle(args)
-    acq, cfg, model_kw = _build_config(args, bundle)
+    system = _maybe_system_source(args, bundle)
+    acq, cfg, model_kw = _build_config(args, bundle, system=system)
     model = FdOctModel(acq, cfg, **model_kw)
-    src = VirtualOctSource(args.input, acq,
-                           total_buffers_to_acquire=args.max_buffers,
-                           **_source_kwargs(args, bundle))
-    n_buffers = min(src.buffers_in_file, args.max_buffers or src.buffers_in_file)
+    if system is not None:
+        src = system
+        raw_buffers = []
+        for raw in src.buffers():
+            raw_buffers.append(raw)
+            if args.max_buffers and len(raw_buffers) >= args.max_buffers:
+                break
+        system.close()
+        n_buffers = len(raw_buffers)
+        read_buffer = raw_buffers.__getitem__
+    else:
+        src = VirtualOctSource(args.input, acq,
+                               total_buffers_to_acquire=args.max_buffers,
+                               **_source_kwargs(args, bundle))
+        n_buffers = min(src.buffers_in_file,
+                        args.max_buffers or src.buffers_in_file)
+        read_buffer = src.read_buffer
 
     t0 = time.perf_counter()
     outs = []
     for i in range(n_buffers):
-        outs.append(model.process_buffer(jnp.asarray(src.read_buffer(i))))
+        outs.append(model.process_buffer(jnp.asarray(read_buffer(i))))
     volume = np.concatenate([np.asarray(o) for o in outs], axis=0)
     dt = time.perf_counter() - t0
     ascans = n_buffers * acq.ascans_per_buffer
@@ -380,7 +394,7 @@ def cmd_process(args) -> int:
     if args.plot_png is not None:
         from .viz import plot_lines, select_line
 
-        raw_line = select_line(src.read_buffer(0), args.frame % acq.bscans_per_buffer,
+        raw_line = select_line(read_buffer(0), args.frame % acq.bscans_per_buffer,
                                args.plot_ascan).astype(np.float64)
         proc_line = select_line(volume, args.frame, args.plot_ascan)
         p = plot_lines(args.plot_png, raw_line=raw_line, processed_line=proc_line,
@@ -628,7 +642,9 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     pp = sub.add_parser("process", help="process a raw volume file")
-    pp.add_argument("input", help=".raw file (unpacked little-endian samples)")
+    pp.add_argument("input", help=".raw file (unpacked little-endian "
+                                  "samples), or 'system:NAME' to acquire "
+                                  "from a registered system")
     _add_acq_args(pp)
     _add_proc_args(pp)
     pp.add_argument("--max-buffers", type=int, default=None)

@@ -165,3 +165,17 @@ def test_replay_system_rejects_cli_geometry_flags(tmp_path, capsys):
     source is an error, not a silent no-op."""
     with pytest.raises(SystemExit, match="geometry"):
         main(["replay", "system:phytooct", "--samples", "2048"])
+
+
+def test_process_from_acquisition_system(tmp_path, capsys):
+    ini = tmp_path / "s.ini"
+    ini.write_text("[system:phytooct]\n"
+                   "samples_per_line = 128\nascans_per_bscan = 16\n"
+                   "bscans_per_buffer = 2\nbuffers_per_volume = 2\n"
+                   "exposure_us = 0.0\n")
+    out = tmp_path / "out.raw"
+    rc = main(["process", "system:phytooct", "--settings", str(ini),
+               "--output", str(out)])
+    assert rc == 0
+    data = np.fromfile(out, np.float32).reshape(4, 16, 64)
+    assert np.isfinite(data).all()
