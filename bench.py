@@ -645,11 +645,19 @@ def main() -> None:
         # never recorded).  Same chunked dispatch as the headline.
         ladder = []
         for prec in ("high", "highest"):
-            spec = f"pallas:8:float32:{prec}"
-            r = (run_attempt(dict(os.environ, OCTPROZ_BENCH_ATTEMPT=spec))
-                 if wait_tunnel(600.0) else None)
+            # best-known formulation first (batch-stream amortizes kernel
+            # ramp-up over the chunk; bit-identical to the scan), per-buffer
+            # scan as the fallback
+            r = None
+            for spec in (f"mega:16:float32:{prec}",
+                         f"pallas:8:float32:{prec}"):
+                r = (run_attempt(dict(os.environ, OCTPROZ_BENCH_ATTEMPT=spec))
+                     if wait_tunnel(600.0) else None)
+                if r is not None:
+                    break
             ladder.append(None if r is None else {
                 "matmul_precision": prec,
+                "spec": spec,
                 "value": r.get("value"),
                 "ms_per_buffer": r.get("ms_per_buffer"),
                 "oracle_psnr_db": r.get("oracle_psnr_db"),
