@@ -65,18 +65,33 @@ def estimate_dispersion_coeffs(
     starting value; with ``estimate_d3=False`` it stays fixed and only d2
     is searched (1-D refined grid).
     """
+    import contextlib
+
     import jax
     import jax.numpy as jnp
 
     from .. import curves as curves_mod
     from .. import pipeline
+    from ..viz.render import cpu_device
+
+    # The whole search is pinned to the CPU backend: it uses complex64 and
+    # jnp.fft, which the axon TPU backend does not implement (and a failed
+    # op wedges a tunneled session) — same rule as the live viewer's
+    # renders.  Curves may hold accelerator arrays; pull host copies so the
+    # committed devices don't override the pin.
+    cpu = cpu_device()
+    ctx = (jax.default_device(cpu) if cpu is not None
+           else contextlib.nullcontext())
+    curves = jax.tree_util.tree_map(np.asarray, curves)
 
     # DC removal is mandatory here: a DC offset chirped by the candidate
     # phasor concentrates at shallow depths and games the sharpness metric.
     prep_cfg = dataclasses.replace(cfg, dispersion=False, use_pallas_prep=False,
                                    background_removal=True)
-    spectra = pipeline.prep_spectra(jnp.asarray(raw), curves, acq, prep_cfg)
-    lines = spectra.reshape(-1, acq.samples_per_line)[:max_lines]
+    with ctx:
+        spectra = pipeline.prep_spectra(jnp.asarray(np.asarray(raw)), curves,
+                                        acq, prep_cfg)
+        lines = spectra.reshape(-1, acq.samples_per_line)[:max_lines]
 
     half = acq.output_ascan_length
 
@@ -96,7 +111,8 @@ def estimate_dispersion_coeffs(
             phases = np.stack([
                 np.asarray(curves_mod.dispersion_phase(acq, 0.0, 0.0, c2, c3))
                 for c2, c3 in pairs[i:i + 32]])
-            out.append(np.asarray(metric_for(jnp.asarray(phases))))
+            with ctx:
+                out.append(np.asarray(metric_for(jnp.asarray(phases))))
         return np.concatenate(out)
 
     best_d2, best_d3 = 0.0, float(d3)

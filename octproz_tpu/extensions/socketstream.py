@@ -18,6 +18,7 @@ channel with length-prefixed binary frames):
 from __future__ import annotations
 
 import json
+import queue
 import socket
 import socketserver
 import threading
@@ -43,11 +44,51 @@ class _ClientHandler(socketserver.StreamRequestHandler):
                 except (ValueError, UnicodeDecodeError):
                     self.send_json({"error": "invalid json"})
                     continue
+                if not isinstance(msg, dict):
+                    # valid JSON but not an object ("x", [1], 42): an error
+                    # reply, not a dropped connection
+                    self.send_json({"error": "expected a json object"})
+                    continue
                 self._dispatch(msg, server)
         except (ConnectionError, OSError):
             pass
         finally:
             server.unregister_client(self)
+
+    # -- outgoing channel: bounded queue + writer thread ---------------------
+    # All writes go through a per-client queue drained by a dedicated writer
+    # thread, so the ENGINE thread never blocks on a client's TCP buffer: a
+    # subscriber that stops reading gets its frames DROPPED (the streaming
+    # path already has skip-N decimation semantics; a stalled consumer is
+    # the same condition), and the stream keeps running.
+
+    def start_writer(self) -> None:
+        self._sendq: "queue.Queue" = queue.Queue(maxsize=4)
+        self._writer_dead = False
+        self.frames_dropped = 0
+        self._writer = threading.Thread(target=self._drain_sendq,
+                                        name="socket-stream-writer",
+                                        daemon=True)
+        self._writer.start()
+
+    def stop_writer(self) -> None:
+        try:
+            self._sendq.put_nowait(None)
+        except queue.Full:
+            pass  # writer is stuck mid-write; it dies with the connection
+
+    def _drain_sendq(self) -> None:
+        while True:
+            item = self._sendq.get()
+            if item is None:
+                return
+            try:
+                for chunk in item:
+                    self.wfile.write(chunk)
+                self.wfile.flush()
+            except (ConnectionError, OSError):
+                self._writer_dead = True
+                return
 
     def _dispatch(self, msg: Dict, server: "_StreamServer") -> None:
         cmd = msg.get("command")
@@ -66,21 +107,30 @@ class _ClientHandler(socketserver.StreamRequestHandler):
             self.send_json({"reply": "ok" if handled else "unknown command"})
 
     def send_json(self, obj: Dict) -> None:
-        with self._send_lock:
-            self.wfile.write((json.dumps(obj) + "\n").encode())
-            self.wfile.flush()
+        """Control replies: small, must not be dropped — block briefly."""
+        if self._writer_dead:
+            raise ConnectionError("writer thread dead")
+        try:
+            self._sendq.put(((json.dumps(obj) + "\n").encode(),),
+                            timeout=2.0)
+        except queue.Full:
+            raise ConnectionError("client not draining control replies")
 
     def send_frame(self, array: np.ndarray, buffer_nr: int) -> None:
+        """Data frames: NEVER block the engine thread — drop when the
+        client's queue is full (stalled consumer)."""
         if not self._subscribed:
             return
+        if self._writer_dead:
+            raise ConnectionError("writer thread dead")
         data = np.ascontiguousarray(array)
         header = json.dumps({
             "type": "frame", "nbytes": data.nbytes, "dtype": str(data.dtype),
             "shape": list(data.shape), "buffer_nr": buffer_nr}) + "\n"
-        with self._send_lock:
-            self.wfile.write(header.encode())
-            self.wfile.write(data.tobytes())
-            self.wfile.flush()
+        try:
+            self._sendq.put_nowait((header.encode(), data.tobytes()))
+        except queue.Full:
+            self.frames_dropped += 1
 
 
 class _StreamServer(socketserver.ThreadingTCPServer):
@@ -94,11 +144,12 @@ class _StreamServer(socketserver.ThreadingTCPServer):
         self._bus = bus
 
     def register_client(self, client) -> None:
-        client._send_lock = threading.Lock()
+        client.start_writer()
         with self._clients_lock:
             self._clients.append(client)
 
     def unregister_client(self, client) -> None:
+        client.stop_writer()
         with self._clients_lock:
             if client in self._clients:
                 self._clients.remove(client)

@@ -55,6 +55,7 @@ OS processes over a gloo-backed 2-host CPU cluster.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional, Sequence, Tuple
 
@@ -144,6 +145,13 @@ def _sharded_fpn_mean_line(z_re_local: jnp.ndarray, z_im_local: jnp.ndarray,
     g = (b_glob[:, None] * jnp.int32(acq.ascans_per_bscan) + a_glob[None, :]).reshape(-1)
 
     n_noise = min(cfg.bscans_for_noise, acq.bscans_per_buffer) * acq.ascans_per_bscan
+    if n_noise < segs:
+        # same contract as ops/fpn.py:44 — with empty segments the zero
+        # variance would win the argmin and silently disable FPN
+        raise ValueError(
+            f"fixed-pattern-noise determination needs at least {segs} "
+            f"A-scans (have {n_noise}: bscans_for_noise="
+            f"{cfg.bscans_for_noise} x {acq.ascans_per_bscan} A-scans/B-scan)")
     seg_width = max(n_noise // segs, 1)
 
     seg_id = g // jnp.int32(seg_width)
@@ -181,6 +189,17 @@ def _core_local(raw_local: jnp.ndarray, curves: Curves, fpn_state: FpnState,
     """
     half = acq.output_ascan_length
 
+    # output_dtype discipline (mirrors pipeline.process_buffer:146-170):
+    # the narrow is a STORAGE decision.  While geometric post-stages still
+    # consume the magnitude (they run on the global array in
+    # sharded_process_buffer), both cond branches must return float32; only
+    # without post-stages may the kernel store / the branch narrow to bf16.
+    has_post = (cfg.bscan_flip or cfg.sinusoidal_correction
+                or cfg.post_background_removal)
+    narrow_here = cfg.output_dtype == "bfloat16" and not has_post
+    kcfg = (dataclasses.replace(cfg, output_dtype="float32")
+            if cfg.output_dtype == "bfloat16" and has_post else cfg)
+
     def unfused(state):
         if cfg.fft_via_matmul:
             from ..pallas.fused_prep import fused_depth_transform
@@ -208,6 +227,8 @@ def _core_local(raw_local: jnp.ndarray, curves: Curves, fpn_state: FpnState,
                  else _postprocess.scale_lin_planar)
         mag = scale(z_re, z_im, half, cfg.grayscale_min, cfg.grayscale_max,
                     cfg.addend, cfg.multiplicator)
+        if narrow_here:
+            mag = mag.astype(jnp.bfloat16)
         return mag, state
 
     fusable = (cfg.fft_via_matmul and cfg.fused_scale
@@ -223,7 +244,7 @@ def _core_local(raw_local: jnp.ndarray, curves: Curves, fpn_state: FpnState,
         mean = (jnp.zeros_like(state.mean_line)
                 if cfg.fpn_mode == FpnMode.OFF else state.mean_line)
         mag = fused_depth_scale(raw_local, curves.depth_op_re,
-                                curves.depth_op_im, mean, acq, cfg)
+                                curves.depth_op_im, mean, acq, kcfg)
         return mag, state
 
     if cfg.fpn_mode == FpnMode.OFF:
@@ -263,6 +284,10 @@ def sharded_process_buffer(
     # exchange collectives.
     mag = lax.with_sharding_constraint(mag, NamedSharding(mesh, spec))
     mag = _pipeline.postprocess_volume(mag, curves, cfg)
+    if cfg.output_dtype == "bfloat16" and mag.dtype != jnp.bfloat16:
+        # post-stage arithmetic ran in float32; narrow as the last step
+        # (same contract as pipeline.process_buffer)
+        mag = mag.astype(jnp.bfloat16)
     return mag, fpn_state
 
 

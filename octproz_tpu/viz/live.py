@@ -252,9 +252,12 @@ class LiveView:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     msg = json.loads(self.rfile.read(n).decode())
+                    if not isinstance(msg, dict):
+                        raise ValueError("body must be a json object")
                     cmd = msg.pop("command", None)
                     reply = view._controller.handle(cmd, msg)
-                except (ValueError, UnicodeDecodeError) as e:
+                except (KeyError, TypeError, ValueError,
+                        UnicodeDecodeError) as e:
                     reply = {"error": f"bad request: {e}"}
                 body = json.dumps(reply).encode()
                 self.send_response(200 if "error" not in reply else 400)
@@ -360,7 +363,6 @@ class LiveView:
             self._bscan_png, self._enface_png = bscan_png, enface_png
             self._ascan = ascan
             self.frames_rendered += 1
-            self._stats.setdefault("buffers", 0)
             self._stats["buffers"] = self._stats.get("buffers", 0) + 1
             if volume_png is not None:
                 self._volume_png = volume_png
@@ -400,7 +402,10 @@ class LiveView:
 
     def update_stats(self, stats) -> None:
         with self._lock:
-            self._stats = {
+            # merge, don't replace: update() maintains its own keys here
+            # ("buffers", "volume_renders" — the page JS gates the volume
+            # pane refresh on the latter)
+            self._stats.update({
                 "info": stats.info_line(),
                 "ascans_per_s": stats.ascans_per_s,
                 "bscans_per_s": stats.bscans_per_s,
@@ -408,7 +413,7 @@ class LiveView:
                 "volumes_per_s": stats.volumes_per_s,
                 "mb_per_s": stats.mb_per_s,
                 "buffers_processed": stats.buffers_processed,
-            }
+            })
 
     def close(self) -> None:
         self._server.shutdown()

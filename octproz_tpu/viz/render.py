@@ -220,7 +220,9 @@ def _render(volume, depth_tex, rot, lut, params: RenderParams,
             if params.shading:
                 new_rgb = _blinn_phong(new_rgb, p, step_vec, _normal(volume, p),
                                        params.light_position)
-            use = s > thr
+            # reference loop terminates at colour.a >= 0.9
+            # (alpha_blending.frag): freeze saturated pixels
+            use = (s > thr) & (a < 0.9)
             return (jnp.where(use[..., None], new_rgb, rgb), jnp.where(use, new_a, a))
         colour, alpha = march((jnp.zeros((h, w, 3)), jnp.zeros((h, w))), body)
 
@@ -233,7 +235,8 @@ def _render(volume, depth_tex, rot, lut, params: RenderParams,
             tmp = (1.0 - weighting * a) * c_a
             new_rgb = weighting[..., None] * rgb + tmp[..., None] * c_rgb
             new_a = weighting * a + tmp
-            use = (s > thr) & (s > max_i)
+            # mida.frag also terminates at colour.a >= 0.9
+            use = (s > thr) & (s > max_i) & (a < 0.9)
             return (jnp.where(use[..., None], new_rgb, rgb),
                     jnp.where(use, new_a, a),
                     jnp.where(use, s, max_i))

@@ -209,3 +209,20 @@ def test_extension_management_commands():
     assert not ext.active
     r = ctl.handle("activate_extension", {"name": "nope"})
     assert "error" in r and r["extensions"] == ["dummy"]
+
+
+def test_live_view_control_rejects_non_dict_body():
+    """Valid-JSON non-object bodies get a 400 error reply, not a dropped
+    connection with no response."""
+    from octproz_tpu.viz.live import LiveView
+
+    model = make_model()
+    eng = StreamingEngine(model, SyntheticSource(ACQ, n_buffers=1),
+                          stream_to_host=True)
+    live = LiveView(port=0, throttle_s=0.0)
+    live.attach(eng)
+    try:
+        status, reply = _post(live.url + "control", "redetermine_fpn")
+        assert status == 400 and "error" in reply
+    finally:
+        live.close()

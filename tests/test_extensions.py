@@ -4,6 +4,7 @@ extraction, socket streaming."""
 
 import json
 import socket
+import time
 
 import numpy as np
 import pytest
@@ -333,3 +334,37 @@ def _get_live(live, path):
 
     with urllib.request.urlopen(live.url + path) as r:
         return r.status, r.read()
+
+
+def test_socket_stream_survives_non_dict_json_and_stalled_subscriber():
+    """A non-dict JSON line gets an error reply (not a dropped connection),
+    and a subscriber that stops reading has frames DROPPED while the
+    push_frame caller (the engine thread) never blocks."""
+    srv = SocketStreamServer(bus=MessageBus())
+    srv.start()
+    try:
+        with socket.create_connection((srv.host, srv.port), timeout=5) as s:
+            sf = s.makefile("rwb")
+            sf.write(b'[1, 2]\n')
+            sf.flush()
+            assert "error" in read_frame(sf)
+            sf.write((json.dumps({"command": "ping"}) + "\n").encode())
+            sf.flush()
+            assert read_frame(sf)["reply"] == "pong"  # connection survived
+
+            sf.write((json.dumps({"command": "subscribe"}) + "\n").encode())
+            sf.flush()
+            assert read_frame(sf)["reply"] == "subscribed"
+
+            # stalled consumer: never read again; push a large frame stream
+            frame = np.zeros((64, 64, 256), np.float32)  # 4 MB each
+            t0 = time.monotonic()
+            for nr in range(20):
+                srv.processed_data_received(frame, 32, 256, 64, 64, 1, nr)
+            elapsed = time.monotonic() - t0
+            # the engine-side push must not block on the full TCP buffer
+            assert elapsed < 5.0
+            client = srv._server._clients[0]
+            assert client.frames_dropped > 0
+    finally:
+        srv.stop()

@@ -161,3 +161,56 @@ def test_streaming_engine_with_sharded_model():
                           on_processed=lambda b, nr: got.append(b.shape))
     assert eng.run() == 4
     assert got and got[0] == acq.processed_buffer_shape
+
+
+@pytest.mark.parametrize("has_post", [False, True])
+def test_output_dtype_bf16_parity(rng, has_post):
+    """output_dtype='bfloat16' on the mesh: both lax.cond branches must
+    agree on dtype (FPN ONCE + fused path crashed at trace time before),
+    post-stage arithmetic stays float32, and the result matches the
+    single-device pipeline bit-for-bit."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        FULL_CFG, output_dtype="bfloat16",
+        # the crash case: fused pallas fold + FPN ONCE puts the bf16 store
+        # decision inside a lax.cond whose branches must agree on dtype
+        fft_via_matmul=True, fold_backend="pallas",
+        background_removal=False,
+        bscan_flip=has_post, sinusoidal_correction=has_post,
+        post_background_removal=False)
+    ref, got, ref_state, got_state = _run_both(rng, cfg, (4, 2))
+    assert got.dtype == ref.dtype
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    # steady state (determined=True) takes the FUSED branch
+    raw2 = _raw(rng)
+    curves = _curves(cfg)
+    ref2, _ = pipeline.make_step(ACQ, cfg)(jnp.asarray(raw2), curves,
+                                           ref_state)
+    got2, _ = make_sharded_step(ACQ, cfg, make_mesh(4, 2))(
+        jnp.asarray(raw2), curves, got_state)
+    assert np.asarray(got2).dtype == np.asarray(ref2).dtype
+    np.testing.assert_allclose(np.asarray(got2, np.float32),
+                               np.asarray(ref2, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_sharded_fpn_rejects_too_few_lines(rng):
+    """Fewer noise lines than segments must raise (ops/fpn.py contract),
+    not silently zero the mean line via empty-segment argmin."""
+    import dataclasses
+
+    acq = AcqParams(samples_per_line=64, ascans_per_bscan=4,
+                    bscans_per_buffer=8, bit_depth=12)
+    cfg = dataclasses.replace(FULL_CFG, bscans_for_noise=1,
+                              background_removal=False,
+                              bscan_flip=False, sinusoidal_correction=False,
+                              post_background_removal=False)
+    raw = _raw(rng, acq)
+    curves = _curves(cfg, acq)
+    mesh = make_mesh(4, 1)
+    step = make_sharded_step(acq, cfg, mesh)
+    with pytest.raises(ValueError, match="at least"):
+        step(jnp.asarray(raw), curves, pipeline.initial_fpn_state(acq))
