@@ -86,6 +86,12 @@ _S = argparse.SUPPRESS  # absent attr == "user did not pass the flag"
 def _add_acq_args(p: argparse.ArgumentParser) -> None:
     g = p.add_argument_group(
         "acquisition geometry (flags override a --settings file)")
+    g.add_argument("--preset", default=_S,
+                   choices=["benchmark", "minimal", "handheld"],
+                   help="named base setup (models/presets.py): geometry + "
+                        "chain of the published benchmark / bare "
+                        "reconstruction / resonant-scanner handheld; "
+                        "settings-file values and explicit flags overlay it")
     g.add_argument("--samples", type=int, default=_S,
                    help="samples per A-scan (raw line length)")
     g.add_argument("--ascans", type=int, default=_S, help="A-scans per B-scan")
@@ -271,6 +277,14 @@ def _build_config(args, bundle=None, system=None):
             cfg = _dc.replace(base, **merged)
         else:
             _, cfg = configmap.build_config(bundle, None, cfg_over)
+    elif a.get("preset"):
+        import dataclasses as _dc
+
+        from .models.presets import PRESETS
+
+        acq_base, cfg_base = PRESETS[a["preset"]]
+        acq = _dc.replace(acq_base, **{**bundle.acq_kwargs, **acq_over})
+        cfg = _dc.replace(cfg_base, **{**bundle.cfg_kwargs, **cfg_over})
     else:
         acq, cfg = configmap.build_config(bundle, acq_over, cfg_over,
                                           require_geometry=True)

@@ -36,12 +36,14 @@ def benchmark_config(tpu: bool = True) -> ProcConfig:
     )
 
 
-def minimal_config() -> ProcConfig:
-    """Bare reconstruction: IFFT + log only (every optional stage off)."""
-    return ProcConfig(log_scaling=True)
+def minimal_config(tpu: bool = True) -> ProcConfig:
+    """Bare reconstruction: IFFT + log only (every optional stage off).
+    ``tpu=True`` (default) uses the planar fold path, which also runs fine
+    on CPU; the axon TPU backend REQUIRES it (no complex64)."""
+    return ProcConfig(log_scaling=True, fft_via_matmul=tpu)
 
 
-def handheld_sinusoidal_config() -> ProcConfig:
+def handheld_sinusoidal_config(tpu: bool = True) -> ProcConfig:
     """Resonant-scanner setup: full chain + bidirectional B-scan flip +
     sinusoidal scan correction (docs/docs/processing.md:150-189)."""
     return ProcConfig(
@@ -51,6 +53,7 @@ def handheld_sinusoidal_config() -> ProcConfig:
         windowing=True, dispersion=True,
         fpn_mode=FpnMode.ONCE, log_scaling=True,
         bscan_flip=True, sinusoidal_correction=True,
+        fft_via_matmul=tpu,
     )
 
 

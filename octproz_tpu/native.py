@@ -168,11 +168,19 @@ def read_file_at(path: str, offset: int, nbytes: int,
 
 def unpack_uint12(packed: np.ndarray, n_samples: int) -> np.ndarray:
     """12-bit packed (2 samples / 3 bytes) -> uint16; native with fallback."""
+    packed = np.ascontiguousarray(packed, np.uint8)
+    # size check BEFORE handing the pointer to C: an undersized buffer
+    # would be a silent out-of-bounds read (an odd tail needs 2 bytes,
+    # native/octnative.cpp:161-164)
+    needed = 3 * (n_samples // 2) + (2 if n_samples & 1 else 0)
+    if packed.size < needed:
+        raise ValueError(
+            f"packed 12-bit buffer too small: {n_samples} samples need "
+            f"{needed} bytes, have {packed.size}")
     lib = load_library()
     if lib is None:
         from .ops.convert import unpack_uint12_packed
         return unpack_uint12_packed(packed, n_samples)
-    packed = np.ascontiguousarray(packed, np.uint8)
     out = np.empty(n_samples, np.uint16)
     lib.unpack_uint12(packed.ctypes.data_as(ctypes.c_void_p),
                       out.ctypes.data_as(ctypes.c_void_p), n_samples)

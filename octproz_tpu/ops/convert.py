@@ -48,9 +48,18 @@ def unpack_uint12_packed(raw_bytes: np.ndarray, n_samples: int) -> np.ndarray:
 
     Host-side helper (numpy): packed layout is
     ``[s0 low 8 | s1 low 4 + s0 high 4 | s1 high 8]`` per 3-byte group.
+    An odd trailing sample occupies only 2 bytes (same layout as the
+    native unpack, native/octnative.cpp:161-164).
     """
     b = np.asarray(raw_bytes, dtype=np.uint8).reshape(-1)
+    needed = 3 * (n_samples // 2) + (2 if n_samples & 1 else 0)
+    if b.size < needed:
+        raise ValueError(
+            f"packed 12-bit buffer too small: {n_samples} samples need "
+            f"{needed} bytes, have {b.size}")
     n_groups = (n_samples + 1) // 2
+    if b.size < n_groups * 3:  # odd tail: pad the missing third byte
+        b = np.concatenate([b, np.zeros(n_groups * 3 - b.size, np.uint8)])
     b = b[: n_groups * 3].reshape(n_groups, 3).astype(np.uint16)
     s0 = b[:, 0] | ((b[:, 1] & 0x0F) << 8)
     s1 = (b[:, 1] >> 4) | (b[:, 2] << 4)

@@ -27,10 +27,16 @@ from ..params import DisplayFunction
 
 def _frame_window(volume_frames: int, frame_nr: int, display_frames: int):
     """Static list of frame indices composited together (skip out-of-range,
-    mirroring the `frameForAveraging < total` guard, cuda_code.cu:827)."""
+    mirroring the `frameForAveraging < total` guard, cuda_code.cu:827).
+
+    frame_nr is clamped to [0, volume_frames) first: the reference kernel's
+    frameNr is unsigned (cuda_code.cu:815), so a scrubbing UI decrementing
+    past 0 must not wrap to the volume's tail via Python negative indexing.
+    """
+    frame_nr = min(max(frame_nr, 0), volume_frames - 1)
     idx = [frame_nr + j for j in range(max(display_frames, 1))]
     idx = [i for i in idx if i < volume_frames]
-    return np.asarray(idx if idx else [min(frame_nr, volume_frames - 1)], dtype=np.int32)
+    return np.asarray(idx if idx else [frame_nr], dtype=np.int32)
 
 
 def bscan_frame(volume: jnp.ndarray, frame_nr: int, display_frames: int = 1,
@@ -40,7 +46,9 @@ def bscan_frame(volume: jnp.ndarray, frame_nr: int, display_frames: int = 1,
     idx = _frame_window(volume.shape[0], frame_nr, display_frames)
     frames = volume[idx, :, :]
     if function == DisplayFunction.MIP and len(idx) > 1:
-        out = jnp.max(frames, axis=0)
+        # reference maxValue starts at 0 (cuda_code.cu:841-852): all-
+        # negative columns display 0, not the true (negative) maximum
+        out = jnp.maximum(jnp.max(frames, axis=0), 0.0)
     else:
         out = jnp.mean(frames, axis=0)
     if flip_display:
@@ -55,7 +63,7 @@ def enface_frame(volume: jnp.ndarray, depth_nr: int, display_frames: int = 1,
     idx = _frame_window(volume.shape[2], depth_nr, display_frames)
     frames = volume[:, :, idx]
     if function == DisplayFunction.MIP and len(idx) > 1:
-        out = jnp.max(frames, axis=2)
+        out = jnp.maximum(jnp.max(frames, axis=2), 0.0)
     else:
         out = jnp.mean(frames, axis=2)
     if flip_display:

@@ -117,14 +117,28 @@ def apply_matmul(x: jnp.ndarray, resample_matrix: jnp.ndarray,
                  precision: str = "default") -> jnp.ndarray:
     """Resample spectra on the MXU: x (..., n_in) @ R.T -> (..., n_out).
 
-    ``precision``: MXU pass count for float32 (the MXU multiplies in
-    bfloat16; "highest" restores true-float32 accuracy at ~6x the passes).
+    ``precision``: "high"/"highest" run the same MANUAL bf16 operand-split
+    multi-pass GEMM as the fold paths (pallas/fused_prep._dot_split) — the
+    repo-wide rule, because native lax.Precision.HIGH/HIGHEST are
+    backend-dependent and unsafe on the axon tunnel (CLAUDE.md).  Ignored
+    for bfloat16 compute.
     """
-    from ..pallas.fused_prep import _precision
+    from ..pallas.fused_prep import (_SPLIT_PARTS, _dot_split,
+                                     _effective_precision, _precision,
+                                     _split_bf16)
 
+    m = resample_matrix.T
+    precision = _effective_precision(
+        "bfloat16" if compute_dtype == jnp.bfloat16 else "float32",
+        precision)
+    parts = _SPLIT_PARTS.get(precision)
+    if parts:
+        return _dot_split(x.astype(jnp.float32),
+                          _split_bf16(m.astype(jnp.float32), parts)
+                          ).astype(jnp.float32)
     return jnp.matmul(
         x.astype(compute_dtype),
-        resample_matrix.T.astype(compute_dtype),
+        m.astype(compute_dtype),
         preferred_element_type=jnp.float32,
         precision=_precision(precision),
     ).astype(jnp.float32)

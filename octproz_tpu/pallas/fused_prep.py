@@ -45,6 +45,15 @@ from ..ops.background import rolling_average_indices
 from ..params import AcqParams, ProcConfig
 
 
+def _effective_precision(compute_dtype: str, precision: str) -> str:
+    """matmul_precision is IGNORED with compute_dtype="bfloat16"
+    (ProcConfig contract): the operands are already bf16, the multi-pass
+    split is meaningless, and native HIGH/HIGHEST must never reach a
+    Mosaic dot (rejected / tunnel-wedging).  Wrappers normalize through
+    this so the jit cache key and the kernels agree."""
+    return "default" if compute_dtype == "bfloat16" else precision
+
+
 def _precision(name: str):
     """Native XLA dot precision (see ProcConfig.matmul_precision): the MXU
     multiplies in bfloat16, so "default" float32 is bf16-grade.
@@ -217,8 +226,9 @@ def _predecode(raw2d, bit_depth: int, bitshift: bool):
 
 
 def _kernel_phase(raw_ref, op_ref, cos_ref, sin_ref, re_ref, im_ref,
-                  *, bit_depth: int, bitshift: bool, precision):
-    x = _decode_block(raw_ref[:], bit_depth, bitshift)
+                  *, bit_depth: int, bitshift: bool, compute_dtype,
+                  precision):
+    x = _decode_block(raw_ref[:], bit_depth, bitshift).astype(compute_dtype)
     y = jnp.dot(x, op_ref[:], preferred_element_type=jnp.float32,
                 precision=precision)
     re_ref[:] = y * cos_ref[:]
@@ -226,8 +236,8 @@ def _kernel_phase(raw_ref, op_ref, cos_ref, sin_ref, re_ref, im_ref,
 
 
 def _kernel_real(raw_ref, op_ref, out_ref, *, bit_depth: int, bitshift: bool,
-                 precision):
-    x = _decode_block(raw_ref[:], bit_depth, bitshift)
+                 compute_dtype, precision):
+    x = _decode_block(raw_ref[:], bit_depth, bitshift).astype(compute_dtype)
     out_ref[:] = jnp.dot(x, op_ref[:], preferred_element_type=jnp.float32,
                          precision=precision)
 
@@ -418,6 +428,12 @@ def _pick_tile(n_lines: int, n_in: int = 1024, max_tile: int = 0) -> int:
     for tile in (1024, 512, 256, 128, 64, 32, 16, 8):
         if tile <= max_tile and n_lines % tile == 0:
             return tile
+    # No power-of-two candidate divides n_lines (odd/prime line counts):
+    # take the largest divisor within the cap rather than silently running
+    # one whole-buffer tile (which can blow VMEM and ignores the cap).
+    for tile in range(min(max_tile, n_lines), 0, -1):
+        if n_lines % tile == 0:
+            return tile
     return n_lines
 
 
@@ -430,6 +446,10 @@ def _fused_prep_impl(raw2d, op, cos_row, sin_row, *, bit_depth: int,
     n_lines, n_in = raw2d.shape
     n_out = op.shape[1]
     tile = _pick_tile(n_lines, n_in, max_tile)
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    if compute_dtype == "bfloat16":
+        op = op.astype(jnp.bfloat16)  # same bf16 operand rule as the
+        # depth paths (the GEMM, not the f32 phasor epilogue, is the cost)
     grid = (n_lines // tile,)
     line_spec = pl.BlockSpec((tile, n_in), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -489,7 +509,7 @@ def _fused_prep_impl(raw2d, op, cos_row, sin_row, *, bit_depth: int,
         row_spec = pl.BlockSpec((1, n_out), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
         kernel = functools.partial(_kernel_phase, bit_depth=bit_depth,
-                                   bitshift=bitshift,
+                                   bitshift=bitshift, compute_dtype=cdt,
                                    precision=_precision(precision))
         re, im = pl.pallas_call(
             kernel,
@@ -505,7 +525,7 @@ def _fused_prep_impl(raw2d, op, cos_row, sin_row, *, bit_depth: int,
         )(raw2d, op, cos_row, sin_row)
         return jax.lax.complex(re, im)
     kernel = functools.partial(_kernel_real, bit_depth=bit_depth,
-                               bitshift=bitshift,
+                               bitshift=bitshift, compute_dtype=cdt,
                                precision=_precision(precision))
     return pl.pallas_call(
         kernel,
@@ -706,7 +726,9 @@ def fused_depth_scale(
     mag = _fused_depth_scale_impl(
         raw2d, depth_op_re, depth_op_im, mean2,
         bit_depth=acq.bit_depth, bitshift=cfg.bitshift,
-        compute_dtype=cfg.compute_dtype, precision=cfg.matmul_precision,
+        compute_dtype=cfg.compute_dtype,
+        precision=_effective_precision(cfg.compute_dtype,
+                                       cfg.matmul_precision),
         log_scaling=cfg.log_scaling,
         gmin=cfg.grayscale_min, gmax=cfg.grayscale_max, addend=cfg.addend,
         coeff=cfg.multiplicator, output_dtype=cfg.output_dtype,
@@ -757,7 +779,8 @@ def fused_depth_transform(
             re = _dot_split(x, _split_bf16(depth_op_re, parts))
             im = _dot_split(x, _split_bf16(depth_op_im, parts))
         else:
-            prec = _precision(cfg.matmul_precision)
+            prec = _precision(_effective_precision(cfg.compute_dtype,
+                                                   cfg.matmul_precision))
             re = jnp.matmul(x, depth_op_re,
                             preferred_element_type=jnp.float32,
                             precision=prec)
@@ -768,7 +791,9 @@ def fused_depth_transform(
         re, im = _fused_depth_impl(raw2d, depth_op_re, depth_op_im,
                                    bit_depth=acq.bit_depth, bitshift=cfg.bitshift,
                                    compute_dtype=cfg.compute_dtype,
-                                   precision=cfg.matmul_precision,
+                                   precision=_effective_precision(
+                                       cfg.compute_dtype,
+                                       cfg.matmul_precision),
                                    max_tile=cfg.pallas_tile,
                                    interpret=interpret)
     half = re.shape[-1]
@@ -805,7 +830,8 @@ def fused_prep(
         cos_row = sin_row = None
     out = _fused_prep_impl(raw2d, prep_operator, cos_row, sin_row,
                            bit_depth=acq.bit_depth, bitshift=cfg.bitshift,
-                           precision=cfg.matmul_precision,
+                           precision=_effective_precision(
+                               cfg.compute_dtype, cfg.matmul_precision),
                            compute_dtype=cfg.compute_dtype,
                            max_tile=cfg.pallas_tile,
                            interpret=interpret)

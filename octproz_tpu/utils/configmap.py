@@ -274,8 +274,11 @@ def to_settings(
                               "dispersion_compensation_d3"])):
             coeffs = curve_kwargs.get(field)
             if coeffs is not None:
+                # None slots mark unspecified coefficients (partial files,
+                # from_settings contract) — leave them unwritten
                 for k, c in zip(keys, coeffs):
-                    proc[k] = repr(float(c))
+                    if c is not None:
+                        proc[k] = repr(float(c))
         wt = curve_kwargs.get("window_type")
         if wt is not None:
             proc["window_type"] = wt.value if isinstance(wt, WindowType) else str(wt)

@@ -179,3 +179,19 @@ def test_process_from_acquisition_system(tmp_path, capsys):
     assert rc == 0
     data = np.fromfile(out, np.float32).reshape(4, 16, 64)
     assert np.isfinite(data).all()
+
+
+def test_preset_base_with_flag_overlay(tmp_path, capsys):
+    """--preset seeds geometry + chain; explicit flags overlay it."""
+    # small synthetic file matching an overridden geometry
+    n, asc, bsc = 128, 8, 4
+    vol = np.zeros((bsc, asc, n), np.uint16)
+    path = tmp_path / "p.raw"
+    vol.tofile(path)
+    out = tmp_path / "o.raw"
+    rc = main(["process", str(path), "--preset", "benchmark",
+               "--samples", str(n), "--ascans", str(asc),
+               "--bscans", str(bsc), "--buffers-per-volume", "1",
+               "--fpn", "off", "--output", str(out)])
+    assert rc == 0
+    assert out.stat().st_size == bsc * asc * (n // 2) * 4

@@ -175,3 +175,26 @@ def test_virtual_source_big_endian(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="big_endian"):
         VirtualOctSource(str(p), acq, big_endian=True, packed_12bit=True)
+
+
+def test_unpack_uint12_rejects_undersized_buffer():
+    """An undersized packed buffer must raise, not read out of bounds (the
+    native kernel would silently return garbage)."""
+    from octproz_tpu.native import unpack_uint12
+
+    with pytest.raises(ValueError, match="too small"):
+        unpack_uint12(np.arange(4, dtype=np.uint8), 5)
+
+
+def test_unpack_uint12_odd_tail_two_bytes():
+    """An odd trailing sample occupies only TWO bytes (native layout,
+    octnative.cpp:161-164); the numpy fallback must accept the same
+    minimal buffer and produce the same samples."""
+    from octproz_tpu.native import pack_uint12, unpack_uint12
+    from octproz_tpu.ops.convert import unpack_uint12_packed
+
+    samples = np.array([0x123, 0x456, 0x789], np.uint16)
+    packed = pack_uint12(samples)
+    minimal = packed[:5]  # 3 bytes for the pair + 2 for the odd tail
+    np.testing.assert_array_equal(unpack_uint12(minimal, 3), samples)
+    np.testing.assert_array_equal(unpack_uint12_packed(minimal, 3), samples)

@@ -212,7 +212,9 @@ class TestProjections:
         avg = np.asarray(projections.bscan_frame(jnp.asarray(v), 2, 3, DisplayFunction.AVERAGING))
         np.testing.assert_allclose(avg, v[2:5].mean(axis=0), rtol=1e-5)
         mip = np.asarray(projections.bscan_frame(jnp.asarray(v), 6, 4, DisplayFunction.MIP))
-        np.testing.assert_allclose(mip, v[6:8].max(axis=0), rtol=1e-5)  # clipped window
+        # reference maxValue starts at 0 (cuda_code.cu:841): MIP clamps at 0
+        np.testing.assert_allclose(mip, np.maximum(v[6:8].max(axis=0), 0.0),
+                                   rtol=1e-5)  # clipped window
 
     def test_enface_frame(self, rng):
         from octproz_tpu import DisplayFunction

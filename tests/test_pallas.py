@@ -493,3 +493,44 @@ def test_output_dtype_bfloat16_postprocess_runs_float32(rng):
     np.testing.assert_array_equal(np.asarray(got, np.float32),
                                   np.asarray(want.astype(jnp.bfloat16),
                                              np.float32))
+
+
+def test_bf16_compute_never_passes_native_high_precision():
+    """compute_dtype='bfloat16' + matmul_precision='high'/'highest' must
+    normalize to DEFAULT dot precision (native HIGH is rejected by Mosaic,
+    native HIGHEST wedges the tunnel) and match plain bf16 output."""
+    import dataclasses
+
+    from octproz_tpu.pallas.fused_prep import (_effective_precision,
+                                               fused_depth_scale)
+
+    assert _effective_precision("bfloat16", "high") == "default"
+    assert _effective_precision("bfloat16", "highest") == "default"
+    assert _effective_precision("float32", "high") == "high"
+
+    acq = AcqParams(samples_per_line=128, ascans_per_bscan=16,
+                    bscans_per_buffer=2, bit_depth=12)
+    curves_kw = dict(resample_coeffs=(0.0, 127.0, 5.0, 0.0),
+                     window_type=WindowType.HANNING)
+    raw = jnp.asarray(np.random.default_rng(3).integers(
+        0, 4096, acq.buffer_shape).astype(np.uint16))
+    outs = []
+    for prec in ("default", "high"):
+        cfg = ProcConfig(bitshift=True, resampling=True,
+                         interpolation=Interpolation.CUBIC, windowing=True,
+                         log_scaling=True, fft_via_matmul=True,
+                         compute_dtype="bfloat16", matmul_precision=prec)
+        curves = curves_mod.make_curves(acq, cfg, **curves_kw)
+        mean = jnp.zeros((2, acq.output_ascan_length), jnp.float32)
+        outs.append(np.asarray(fused_depth_scale(
+            raw, curves.depth_op_re, curves.depth_op_im, mean, acq, cfg)))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_pick_tile_honors_cap_for_odd_line_counts():
+    from octproz_tpu.pallas.fused_prep import _pick_tile
+
+    # 255*7=1785 lines: no power-of-two divides it; the largest divisor
+    # within the cap must win, not a whole-buffer tile
+    tile = _pick_tile(1785, n_in=1024, max_tile=64)
+    assert tile <= 64 and 1785 % tile == 0 and tile > 1

@@ -264,3 +264,16 @@ def test_fold_concat_rejects_inert_knobs():
         ProcConfig(fold_concat=True, fast_log=True)
     with pytest.raises(ValueError, match="concat"):
         ProcConfig(fold_concat=True, fold_k_split=2)
+
+
+def test_to_settings_accepts_partial_coefficient_tuples(tmp_path):
+    """from_settings produces None slots for partial files; to_settings
+    must round-trip them (skip the unspecified slots), not crash."""
+    ini = tmp_path / "p.ini"
+    ini.write_text("[processing]\nresampling_c1 = 430.0\n")
+    b = configmap.from_settings(SettingsManager(str(ini)))
+    out = SettingsManager(str(tmp_path / "out.ini"))
+    configmap.to_settings(out, curve_kwargs=b.curve_kwargs)
+    proc = out.get_group("processing")
+    assert proc["resampling_c1"] == "430.0"
+    assert "resampling_c0" not in proc
