@@ -44,10 +44,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _measure(step, raw, curves, state, acq, n_iters, warmup, fetch=None):
+def _measure(step, raw, curves, state, acq, n_iters, warmup):
     import jax
 
-    for _ in range(warmup):
+    for _ in range(max(warmup, 1)):  # >=1: 'out' seeds the ready-barrier
         out, state = step(raw, curves, state)
     jax.block_until_ready(out)
     t0 = time.perf_counter()

@@ -118,7 +118,10 @@ def dispersion_phase(
 
 def _window_geometry(center: float, fill_factor: float, size: int):
     center = min(max(center, 0.0), 1.0)  # windowfunction.cpp:65-73
-    width = int(fill_factor * size)
+    # width >= 2: a tiny fill factor (reachable unvalidated from the remote
+    # set_window command) would otherwise divide by width-1 = 0/-1 and
+    # produce a NaN/all-zero window that silently blanks the stream
+    width = max(int(fill_factor * size), 2)
     center_i = int(center * size)
     min_pos = center_i - width // 2
     max_pos = min_pos + width
@@ -172,6 +175,7 @@ def _gauss(center, fill, size):
     center = min(max(center, 0.0), 1.0)
     center_i = int(center * size)
     i = np.arange(size, dtype=np.float64)
+    fill = max(fill, 2.0 / max(size, 2))  # same width>=2 floor as above
     xi_norm = ((i - center_i) / (float(size) - 1.0)) / fill
     return np.exp(-10.0 * xi_norm**2)
 
@@ -313,8 +317,11 @@ def make_curves(
     if cfg.resampling:
         rc_np = resample_curve(acq, *resample_coeffs, custom=custom_resample_curve)
         rc = place("resample_curve", rc_np)
-        rm_np = build_resample_matrix(rc_np, cfg.interpolation)
-        rm = place("resample_matrix", rm_np)
+        if cfg.resample_via_matmul or cfg.use_pallas_prep or cfg.fft_via_matmul:
+            # the O(n^2) matrix build only pays off where a consumer folds
+            # it (gather-path live re-tuning stays cheap)
+            rm_np = build_resample_matrix(rc_np, cfg.interpolation)
+            rm = place("resample_matrix", rm_np)
     if cfg.windowing:
         win_np = window_curve(window_type, n, window_center, window_fill_factor)
         win = place("window", win_np)
@@ -323,14 +330,14 @@ def make_curves(
         prep_op = place("prep_operator",
                         build_prep_operator(acq, cfg, rm_np, win_np))
     dop_re = dop_im = None
+    phase_np = (np.asarray(dispersion_phase(acq, *dispersion_coeffs))
+                if cfg.dispersion else None)
     if cfg.fft_via_matmul:
         from .pallas.fused_prep import build_depth_operator
-        phase_np = np.asarray(dispersion_phase(acq, *dispersion_coeffs)) \
-            if cfg.dispersion else None
         re_np, im_np = build_depth_operator(acq, cfg, rm_np, win_np, phase_np)
         dop_re, dop_im = place("depth_op_re", re_np), place("depth_op_im", im_np)
     if cfg.dispersion:
-        phase = place("phase", dispersion_phase(acq, *dispersion_coeffs))
+        phase = place("phase", phase_np)
     if cfg.sinusoidal_correction:
         sin_curve = place("sinusoidal_curve",
                           sinusoidal_scan_curve(acq.ascans_per_bscan))

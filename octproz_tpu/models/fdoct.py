@@ -64,6 +64,11 @@ class FdOctModel:
         self.mesh = mesh
         self._batch_promoted = False  # see _batch_ready
         self._step = self._build_step()
+        # One-shot published snapshot (cfg, curves, step): the hot path
+        # reads this single attribute so a live set_config/_rebuild_curves
+        # from another thread can never pair an old executable with new
+        # curves (the control surface's "atomic under the GIL" contract).
+        self._exec = (self.cfg, self.curves, self._step)
 
     def _build_step(self):
         if self.mesh is not None:
@@ -138,6 +143,7 @@ class FdOctModel:
     def set_post_background(self, background: np.ndarray) -> None:
         self.curves = dataclasses.replace(
             self.curves, post_background=jnp.asarray(background, jnp.float32))
+        self._exec = (self.cfg, self.curves, self._step)
 
     def redetermine_fpn(self) -> None:
         """Reference: redetermineFixedPatternNoise request (cuda_code.cu:1521)."""
@@ -153,14 +159,20 @@ class FdOctModel:
         etc.) stays recompile-free."""
         self.cfg = dataclasses.replace(self.cfg, **changes)
         self._batch_promoted = False
-        self._rebuild_curves()  # consumed curve set may change with the cfg
+        # consumed curve set may change with the cfg; publish only once the
+        # matching executable exists (a reader must never see new curves
+        # with the old step)
+        self._rebuild_curves(publish=False)
         self._step = self._build_step()
+        self._exec = (self.cfg, self.curves, self._step)
 
-    def _rebuild_curves(self) -> None:
+    def _rebuild_curves(self, publish: bool = True) -> None:
         post_bg = self.curves.post_background
         self.curves = curves_mod.make_curves(self.acq, self.cfg, **self._curve_kwargs)
         if post_bg is not None:
             self.curves = dataclasses.replace(self.curves, post_background=post_bg)
+        if publish:
+            self._exec = (self.cfg, self.curves, self._step)
 
     # -- processing ----------------------------------------------------------
     def process_buffer(self, raw) -> jax.Array:
@@ -171,7 +183,8 @@ class FdOctModel:
         the buffer is fed by the other hosts)."""
         if not isinstance(raw, jax.Array):
             raw = self.put_buffer(raw)
-        processed, self.fpn_state = self._step(raw, self.curves, self.fpn_state)
+        _, curves, step = self._exec  # consistent (curves, step) pair
+        processed, self.fpn_state = step(raw, curves, self.fpn_state)
         return processed
 
     def process_chunk(self, raw_stack, strategy: str = "auto") -> jax.Array:
@@ -206,8 +219,9 @@ class FdOctModel:
                 "strategy='batch' needs fft_via_matmul + fused_scale + "
                 "fold_backend='pallas' + FPN OFF (or ONCE already "
                 "determined); use 'auto' to fall back to scan")
-        step = pipeline.make_scan_step(self.acq, self.cfg)
-        out, self.fpn_state = step(raw_stack, self.curves, self.fpn_state)
+        cfg, curves, _ = self._exec  # consistent (cfg, curves) pair
+        step = pipeline.make_scan_step(self.acq, cfg)
+        out, self.fpn_state = step(raw_stack, curves, self.fpn_state)
         return out
 
     def _batch_ready(self) -> bool:
@@ -238,19 +252,19 @@ class FdOctModel:
         from ..params import FpnMode
         from ..pallas.fused_prep import fused_depth_scale
 
-        cfg = self.cfg
+        cfg, curves, _ = self._exec  # consistent (cfg, curves) pair
         has_post = (cfg.bscan_flip or cfg.sinusoidal_correction
                     or cfg.post_background_removal)
         kcfg = (_dc.replace(cfg, output_dtype="float32")
                 if has_post and cfg.output_dtype == "bfloat16" else cfg)
         mean = (jnp.zeros_like(self.fpn_state.mean_line)
                 if cfg.fpn_mode == FpnMode.OFF else self.fpn_state.mean_line)
-        mag = fused_depth_scale(raw_stack, self.curves.depth_op_re,
-                                self.curves.depth_op_im, mean,
+        mag = fused_depth_scale(raw_stack, curves.depth_op_re,
+                                curves.depth_op_im, mean,
                                 self.acq, kcfg)
         if has_post:
             mag = jax.vmap(
-                lambda m: pipeline.postprocess_volume(m, self.curves, cfg))(mag)
+                lambda m: pipeline.postprocess_volume(m, curves, cfg))(mag)
         if cfg.output_dtype == "bfloat16" and mag.dtype != jnp.bfloat16:
             mag = mag.astype(jnp.bfloat16)
         return mag

@@ -36,3 +36,23 @@ def quantize(x: jnp.ndarray, bit_depth: int) -> jnp.ndarray:
         if bit_depth <= limit:
             return (jnp.clip(x, 0.0, 1.0) * jnp.float32(scale)).astype(dtype)
     return (jnp.clip(x, 0.0, 1.0) * jnp.float32(4294967040.0)).astype(jnp.uint32)
+
+
+def code_max(bit_depth: int) -> float:
+    """The full-scale CODE of a quantized stream (what :func:`quantize`
+    multiplied by) — NOT the container dtype's max: 12-bit codes ride in
+    uint16, so normalizing by ``np.iinfo(dtype).max`` would be 16x dark."""
+    for limit, scale, _ in _SCALES:
+        if bit_depth <= limit:
+            return float(scale)
+    return 4294967040.0
+
+
+def dequantize(x, bit_depth: int):
+    """Quantized codes (or float passthrough) -> float32 in [0, 1]."""
+    import numpy as np
+
+    out = np.asarray(x, np.float32)
+    if np.issubdtype(np.asarray(x).dtype, np.integer):
+        out = out / np.float32(code_max(bit_depth))
+    return out

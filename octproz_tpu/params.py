@@ -273,6 +273,17 @@ class ProcConfig:
             raise ValueError(
                 "fast_log / fold_k_split are not implemented for the "
                 "concat fold kernel; disable fold_concat to use them")
+        if (self.compute_dtype == "float32"
+                and self.matmul_precision in ("high", "highest")
+                and (self.fast_log or self.fold_k_split > 1)):
+            # the manual split kernels ignore both knobs — reject instead
+            # of recording benchmark configs that never ran (with bfloat16
+            # compute the precision normalizes to default, so the knobs DO
+            # apply there)
+            raise ValueError(
+                "fast_log / fold_k_split are not implemented for the "
+                "manual matmul_precision='high'/'highest' split kernels; "
+                "use matmul_precision='default'")
         if self.pallas_tile != 0 and self.pallas_tile < 8:
             raise ValueError(
                 "pallas_tile must be 0 (auto) or >= 8 (the smallest kernel "

@@ -104,7 +104,8 @@ class MessageBus:
 
     def broadcast(self, sender: str, command: str,
                   params: Optional[Dict[str, Any]] = None) -> None:
-        for name, plugin in self._plugins.items():
+        # snapshot: a handler may (un)register plugins mid-broadcast
+        for name, plugin in list(self._plugins.items()):
             if name != sender:
                 plugin.receive_command(sender, command, params or {})
 

@@ -348,8 +348,13 @@ class StreamingEngine:
         :meth:`stop` is called.  Returns the number of buffers processed."""
         acq = self.model.acq
         bufs_per_vol = max(acq.buffers_per_volume, 1)
-        want_raw_fanout = any(
-            e.active and e.wants_raw_data for e in self.extensions.extensions.values())
+
+        def want_raw_fanout() -> bool:
+            # evaluated per buffer: an extension activated mid-stream (live
+            # control) must start receiving raw data immediately, like the
+            # per-call check on the processed side
+            return any(e.active and e.wants_raw_data
+                       for e in self.extensions.extensions.values())
 
         prefetcher = _Prefetcher(self.source, self.prefetch_depth)
         prefetcher.start()
@@ -369,25 +374,34 @@ class StreamingEngine:
             if self._post_bg_remaining > 0:
                 self._capture_post_background(processed)
 
-            # float32 processed recording bypasses quantization
-            # (streamProcessedFloatData analog, cuda_code.cu:1374-1386)
-            record_float = (self.processed_recorder.recording
-                            and self._record_as_float)
-            fetch = (self.stream_to_host
-                     and processed_count % (self.streaming_skip + 1) == 0)
-            if record_float:
-                in_flight.append((buffer_nr, processed, None))
-            elif fetch:
-                in_flight.append((buffer_nr, self._quantize(processed),
-                                  None))
-            else:
+            # Two independent D2H streams, like the reference's separate
+            # streamProcessedFloatData / streamProcessedData kernels
+            # (cuda_code.cu:1595-1604): the float32 recorder stream
+            # (un-quantized, every buffer) and the quantized consumer
+            # stream (extensions/viewer/assembler, skip-N decimated).
+            # Recording the quantized stream fetches EVERY buffer
+            # regardless of stream_to_host — the reference forces
+            # streaming on with skip 0 while recording
+            # (octprozapp.cpp:408-416).
+            recording = self.processed_recorder.recording
+            record_float = recording and self._record_as_float
+            record_quant = recording and not self._record_as_float
+            stream_due = (self.stream_to_host
+                          and processed_count % (self.streaming_skip + 1) == 0)
+            dev_float = processed if record_float else None
+            dev_quant = (self._quantize(processed)
+                         if (record_quant or stream_due) else None)
+            if dev_float is None and dev_quant is None:
                 # nothing is fetched for this buffer: retain a cheap
                 # device scalar so draining can still block on step
                 # completion -- the explicit analog of the reference's
                 # blocking CUDA event (cuda_code.cu:1416-1420).  Without
                 # it nothing bounds how far the host runs ahead of the
                 # device.
-                in_flight.append((buffer_nr, None, self._probe(processed)))
+                in_flight.append((buffer_nr, None, None,
+                                  self._probe(processed)))
+            else:
+                in_flight.append((buffer_nr, dev_float, dev_quant, None))
 
             if len(in_flight) > self.max_in_flight:
                 self._drain_one(in_flight)
@@ -448,7 +462,7 @@ class StreamingEngine:
                 # (processing.cpp:182 emit rawData)
                 if self.raw_recorder.recording:
                     self.raw_recorder.record_buffer(raw, buffer_nr)
-                if want_raw_fanout:
+                if want_raw_fanout():
                     self.extensions.feed_raw(np.asarray(raw), acq, buffer_nr)
 
                 if self.dispatch_chunk > 1:
@@ -471,33 +485,40 @@ class StreamingEngine:
         return processed_count
 
     def _drain_one(self, in_flight: List[tuple]) -> None:
-        buffer_nr, dev, throttle = in_flight.pop(0)
-        if dev is None:
+        buffer_nr, dev_float, dev_quant, throttle = in_flight.pop(0)
+        if dev_float is None and dev_quant is None:
             if throttle is not None:
                 jax.block_until_ready(throttle)  # back-pressure only
             return
         # D2H fetch (the gpu2hostnotifier moment); on a multi-host mesh each
         # process fetches only its own B-scan block (model.fetch)
-        host = self.model.fetch(dev)
-        if host.dtype.name == "bfloat16":
-            # cfg.output_dtype="bfloat16" halves the transfer; host-side
-            # consumers (float32 recorder, extensions, volume assembler)
-            # keep their float32 contract — upcast after the wire
-            host = host.astype(np.float32)
-        if self.processed_recorder.recording:
-            self.processed_recorder.record_buffer(host, buffer_nr)
-            if (not self.processed_recorder.recording
-                    and self._params_want_screenshots()):
-                self._save_screenshots(host)
-        self.extensions.feed_processed(host, self.model.acq,
-                                       self.streaming_bit_depth, buffer_nr)
-        if self.assembler is not None:
-            vol = host.astype(np.float32)
-            if np.issubdtype(host.dtype, np.integer):
-                vol = vol / float(np.iinfo(host.dtype).max)
-            self.assembler.add(vol, buffer_nr)
-        if self.on_processed:
-            self.on_processed(host, buffer_nr)
+        was_recording = self.processed_recorder.recording
+        if dev_float is not None:
+            # recorder-only stream (the reference's float path feeds the
+            # Recorder, not the extensions, processing.cpp:251-264)
+            host_f = self.model.fetch(dev_float)
+            if host_f.dtype.name == "bfloat16":
+                # cfg.output_dtype="bfloat16" halves the transfer; the
+                # float32 recorder contract is restored after the wire
+                host_f = host_f.astype(np.float32)
+            self.processed_recorder.record_buffer(host_f, buffer_nr)
+        if dev_quant is not None:
+            host = self.model.fetch(dev_quant)
+            if self.processed_recorder.recording and dev_float is None:
+                self.processed_recorder.record_buffer(host, buffer_nr)
+            self.extensions.feed_processed(host, self.model.acq,
+                                           self.streaming_bit_depth,
+                                           buffer_nr)
+            if self.assembler is not None:
+                self.assembler.add(
+                    quantize_mod.dequantize(host, self.streaming_bit_depth),
+                    buffer_nr)
+            if self.on_processed:
+                self.on_processed(host, buffer_nr)
+        if (was_recording and not self.processed_recorder.recording
+                and self._params_want_screenshots()):
+            # this drain's buffer completed the recording
+            self._save_screenshots(host_f if dev_float is not None else host)
 
     def _params_want_screenshots(self) -> bool:
         p = self.processed_recorder._params
@@ -512,9 +533,9 @@ class StreamingEngine:
         from .viz.render import cpu_device
 
         base = self.processed_recorder.last_file[:-4]
-        vol = host_buffer.astype(np.float32)
-        if np.issubdtype(host_buffer.dtype, np.integer):
-            vol = vol / float(np.iinfo(host_buffer.dtype).max)
+        # normalize by the quantized CODE max (2**bits - 1), not the
+        # container dtype max — 12-bit codes ride in uint16
+        vol = quantize_mod.dequantize(host_buffer, self.streaming_bit_depth)
         try:
             save_bscan_png(base + "_bscan.png", vol,
                            frame_nr=vol.shape[0] // 2)

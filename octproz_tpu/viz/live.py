@@ -299,6 +299,7 @@ class LiveView:
 
                 engine.assembler = VolumeAssembler(engine.model.acq)
             self._assembler = engine.assembler
+        self._bit_depth = getattr(engine, "streaming_bit_depth", None)
         prev_p, prev_m = engine.on_processed, engine.on_metrics
 
         def on_processed(vol, nr):
@@ -332,7 +333,13 @@ class LiveView:
 
         vol = np.asarray(volume)
         if np.issubdtype(vol.dtype, np.integer):
-            vol = vol.astype(np.float32) / float(np.iinfo(vol.dtype).max)
+            # normalize by the quantized CODE max (attach() recorded the
+            # engine's streaming bit depth; 12-bit codes ride in uint16)
+            from ..ops.quantize import dequantize
+
+            bits = getattr(self, "_bit_depth", None)
+            vol = (dequantize(vol, bits) if bits else
+                   vol.astype(np.float32) / float(np.iinfo(vol.dtype).max))
         n_b = vol.shape[0]
         b0 = min(max(self.bscan_nr, 0), n_b - 1)
         b1 = min(b0 + max(self.display_frames, 1), n_b)

@@ -233,8 +233,8 @@ def test_unfetched_buffers_still_throttle():
     eng._drain_one = spy
     assert eng.run() == 8
     assert drained, "nothing was drained"
-    for nr, dev, throttle in drained:
-        assert dev is None
+    for nr, dev_float, dev_quant, throttle in drained:
+        assert dev_float is None and dev_quant is None
         assert throttle is not None  # the retained device scalar
 
 
@@ -396,3 +396,82 @@ def test_recording_screenshots_render_on_cpu(tmp_path, monkeypatch):
     eng.run()
     assert seen and all(d is not None and d == cpu_device() for d in seen)
     assert glob.glob(str(tmp_path / "*_volume.png"))
+
+
+def test_dequantize_uses_code_max_not_container_max():
+    import jax.numpy as jnp
+
+    from octproz_tpu.ops.quantize import code_max, dequantize, quantize
+
+    x = np.linspace(0, 1, 9, dtype=np.float32)
+    codes = np.asarray(quantize(jnp.asarray(x), 12))
+    assert codes.dtype == np.uint16 and codes.max() == 4095
+    back = dequantize(codes, 12)
+    np.testing.assert_allclose(back, x, atol=1e-3)  # NOT 16x dark
+    assert code_max(12) == 4095.0 and code_max(16) == 65535.0
+
+
+def test_assembled_volume_is_full_scale_at_12_bit(tmp_path):
+    """The VolumeAssembler receives [0,1]-normalized data for 12-bit
+    streams (normalizing by the uint16 container max made it 16x dark)."""
+    from octproz_tpu.io.volume import VolumeAssembler
+
+    eng = make_engine(n_buffers=2, stream_to_host=True)
+    eng.assembler = VolumeAssembler(ACQ)
+    eng.run()
+    vol = eng.assembler.volume
+    assert vol.max() > 0.2  # the synthetic reflector peaks near full scale
+
+
+def test_quantized_recording_without_streaming(tmp_path):
+    """save_processed (quantized) must record and auto-stop even with
+    stream_to_host=False: recording forces the fetch like the reference
+    forcing streaming on (octprozapp.cpp:408-416)."""
+    eng = make_engine(n_buffers=None, stream_to_host=False)
+    eng.start_recording(RecordingParams(
+        save_dir=str(tmp_path), name="noq", buffers_to_record=2,
+        save_raw=False, save_processed=True, save_meta=False,
+        stop_after_record=True))
+    n = eng.run(max_buffers=50)
+    assert n < 50
+    assert glob.glob(str(tmp_path / "*noq_processed*.raw"))
+
+
+def test_float_recording_keeps_quantized_extension_stream(tmp_path):
+    """During float32 recording the recorder gets un-quantized floats while
+    extensions keep receiving the QUANTIZED, skip-decimated stream (the
+    reference's two separate streams, cuda_code.cu:1595-1604)."""
+    eng = make_engine(n_buffers=6, stream_to_host=True, streaming_skip=1)
+    ext = CollectingExtension()
+    eng.extensions.add(ext)
+    ext.activate()
+    eng.start_recording(RecordingParams(
+        save_dir=str(tmp_path), name="both", buffers_to_record=6,
+        save_raw=False, save_processed=True, save_as_32bit_float=True,
+        save_meta=False))
+    eng.run()
+    f = glob.glob(str(tmp_path / "*float32*.raw"))
+    assert f and np.fromfile(f[0], np.float32).size == \
+        6 * ACQ.ascans_per_buffer * ACQ.output_ascan_length
+    # extensions saw only integer codes, at the decimated rate
+    assert 0 < len(ext.processed_calls) <= 3
+    for buf, bits, nr in ext.processed_calls:
+        assert np.issubdtype(np.asarray(buf).dtype, np.integer)
+
+
+def test_extension_activated_mid_stream_gets_raw_data():
+    eng = make_engine(n_buffers=8, stream_to_host=True)
+    ext = CollectingExtension()
+    ext.deactivate()
+    eng.extensions.add(ext)
+
+    seen_before = []
+
+    def activate_late(host, nr):
+        if len(seen_before) == 2:
+            ext.activate()
+        seen_before.append(nr)
+
+    eng.on_processed = activate_late
+    eng.run()
+    assert ext.raw_calls, "raw fan-out never started after mid-stream activation"

@@ -66,14 +66,18 @@ def test_random_config_roundtrip(tmp_path, seed):
         post_background_weight=float(np.round(rng.uniform(), 6)),
         post_background_offset=float(np.round(rng.normal(), 6)),
         resample_via_matmul=flip(),
-        compute_dtype=str(rng.choice(["float32", "bfloat16"])),
-        matmul_precision=str(rng.choice(["default", "high", "highest"])),
+        compute_dtype=(cdt := str(rng.choice(["float32", "bfloat16"]))),
+        matmul_precision=(prec := str(
+            rng.choice(["default", "high", "highest"]))),
         use_pallas_prep=flip(), fft_via_matmul=flip(),
         fold_backend=str(rng.choice(["pallas", "xla"])),
         fused_scale=flip(), fold_concat=(concat := flip()),
-        # fast_log / fold_k_split are rejected alongside fold_concat
-        fold_k_split=1 if concat else int(rng.integers(1, 5)),
-        fast_log=False if concat else flip(),
+        # fast_log / fold_k_split are rejected alongside fold_concat and
+        # alongside f32 high/highest (the split kernels ignore them)
+        fold_k_split=1 if (concat or (cdt == "float32" and prec != "default"))
+        else int(rng.integers(1, 5)),
+        fast_log=False if (concat or (cdt == "float32" and prec != "default"))
+        else flip(),
         pallas_tile=int(rng.choice([0, 128, 512])),
         output_dtype=str(rng.choice(["float32", "bfloat16"])),
     )
