@@ -29,7 +29,6 @@ import dataclasses
 import json
 import sys
 import time
-from typing import Optional
 
 import numpy as np
 
@@ -261,8 +260,6 @@ def _build_config(args, bundle=None, system=None):
         cfg_over["fpn_mode"] = FpnMode(a["fpn"])
 
     if system is not None:
-        import dataclasses as _dc
-
         if acq_over:
             raise SystemExit(
                 "acquisition geometry flags cannot override a system: "
@@ -274,17 +271,15 @@ def _build_config(args, bundle=None, system=None):
         if base is not None:
             merged = dict(bundle.cfg_kwargs)
             merged.update(cfg_over)
-            cfg = _dc.replace(base, **merged)
+            cfg = dataclasses.replace(base, **merged)
         else:
             _, cfg = configmap.build_config(bundle, None, cfg_over)
     elif a.get("preset"):
-        import dataclasses as _dc
-
         from .models.presets import PRESETS
 
         acq_base, cfg_base = PRESETS[a["preset"]]
-        acq = _dc.replace(acq_base, **{**bundle.acq_kwargs, **acq_over})
-        cfg = _dc.replace(cfg_base, **{**bundle.cfg_kwargs, **cfg_over})
+        acq = dataclasses.replace(acq_base, **{**bundle.acq_kwargs, **acq_over})
+        cfg = dataclasses.replace(cfg_base, **{**bundle.cfg_kwargs, **cfg_over})
     else:
         acq, cfg = configmap.build_config(bundle, acq_over, cfg_over,
                                           require_geometry=True)
@@ -368,7 +363,8 @@ def cmd_process(args) -> int:
         raw_buffers = []
         for raw in src.buffers():
             raw_buffers.append(raw)
-            if args.max_buffers and len(raw_buffers) >= args.max_buffers:
+            if (args.max_buffers is not None
+                    and len(raw_buffers) >= args.max_buffers):
                 break
         system.close()
         n_buffers = len(raw_buffers)
@@ -378,7 +374,8 @@ def cmd_process(args) -> int:
                                total_buffers_to_acquire=args.max_buffers,
                                **_source_kwargs(args, bundle))
         n_buffers = min(src.buffers_in_file,
-                        args.max_buffers or src.buffers_in_file)
+                        src.buffers_in_file if args.max_buffers is None
+                        else args.max_buffers)
         read_buffer = src.read_buffer
 
     t0 = time.perf_counter()
@@ -408,7 +405,11 @@ def cmd_process(args) -> int:
     if args.plot_png is not None:
         from .viz import plot_lines, select_line
 
-        raw_line = select_line(read_buffer(0), args.frame % acq.bscans_per_buffer,
+        # the raw buffer holding global frame args.frame (same A-scan as
+        # the processed trace)
+        raw_buf_nr = min(args.frame // acq.bscans_per_buffer, n_buffers - 1)
+        raw_line = select_line(read_buffer(raw_buf_nr),
+                               args.frame % acq.bscans_per_buffer,
                                args.plot_ascan).astype(np.float64)
         proc_line = select_line(volume, args.frame, args.plot_ascan)
         p = plot_lines(args.plot_png, raw_line=raw_line, processed_line=proc_line,

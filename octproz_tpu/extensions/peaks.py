@@ -54,15 +54,27 @@ def find_peaks(line: np.ndarray, threshold: float = 0.0,
             hi += 1
 
         def cross(a, b):
+            # sub-sample position of the half-max crossing between a and b
+            # (signed direction: b may be below a)
             if line[b] == line[a]:
                 return float(b)
-            return a + (half - line[a]) / (line[b] - line[a])
+            return a + (b - a) * (half - line[a]) / (line[b] - line[a])
         left = cross(lo, lo + 1) if line[lo] <= half else float(lo)
         right = cross(hi, hi - 1) if line[hi] <= half else float(hi)
         peaks.append(Peak(index=int(i), value=float(y1),
                           subpixel_index=float(sub),
                           fwhm=float(abs(right - left))))
     return peaks
+
+
+def _selected_line(buffer, bit_depth: int, bscan: int, ascan: int) -> np.ndarray:
+    """Normalized float64 A-scan at a clamped (bscan, ascan) selection —
+    shared by both line-analysis extensions (quantized streams normalize by
+    the code max, ops/quantize.dequantize)."""
+    from ..ops.quantize import dequantize
+
+    data = np.asarray(dequantize(buffer, bit_depth), np.float64)
+    return data[min(bscan, data.shape[0] - 1), min(ascan, data.shape[1] - 1)]
 
 
 class PeakDetectorExtension(Extension):
@@ -82,11 +94,7 @@ class PeakDetectorExtension(Extension):
         self.last_peaks: List[Peak] = []
 
     def processed_data_received(self, buffer, bit_depth, spl, apb, bpb, bpv, nr):
-        data = np.asarray(buffer, np.float64)
-        if np.issubdtype(np.asarray(buffer).dtype, np.integer):
-            data = data / (2 ** bit_depth - 1)
-        line = data[min(self.bscan, data.shape[0] - 1),
-                    min(self.ascan, data.shape[1] - 1)]
+        line = _selected_line(buffer, bit_depth, self.bscan, self.ascan)
         self.last_peaks = find_peaks(line, self.threshold, self.max_peaks)
 
 
@@ -144,9 +152,5 @@ class AxialPsfAnalyzerExtension(Extension):
         self.last_fit: Optional[PsfFit] = None
 
     def processed_data_received(self, buffer, bit_depth, spl, apb, bpb, bpv, nr):
-        data = np.asarray(buffer, np.float64)
-        if np.issubdtype(np.asarray(buffer).dtype, np.integer):
-            data = data / (2 ** bit_depth - 1)
-        line = data[min(self.bscan, data.shape[0] - 1),
-                    min(self.ascan, data.shape[1] - 1)]
+        line = _selected_line(buffer, bit_depth, self.bscan, self.ascan)
         self.last_fit = fit_axial_psf(line, half_window=self.half_window)

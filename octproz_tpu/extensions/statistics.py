@@ -44,8 +44,10 @@ class ImageStatisticsExtension(Extension):
         if (self._count - 1) % self.frame_decimation:
             return
         data = np.asarray(buffer)
+        # float range: the true (min, max); numpy auto-expands an equal
+        # range, so no falsy-zero substitute (which skewed non-positive data)
         hist_range = (0, 2 ** bit_depth - 1) if np.issubdtype(data.dtype, np.integer) \
-            else (float(data.min()), float(data.max()) or 1.0)
+            else (float(data.min()), float(data.max()))
         counts, edges = np.histogram(data, bins=self.n_bins, range=hist_range)
         self.last = FrameStats(
             minimum=float(data.min()), maximum=float(data.max()),

@@ -51,10 +51,17 @@ def load_curve_csv(path: str, expected_size: Optional[int] = None) -> np.ndarray
             pairs.append((idx, val))
     if not pairs:
         raise ValueError(f"{path}: no curve points")
-    size = expected_size if expected_size is not None \
-        else max(i for i, _ in pairs) + 1
+    points = max(i for i, _ in pairs) + 1
+    if expected_size is not None and points != expected_size:
+        # a curve recorded for a different geometry must not silently load
+        # truncated / zero-padded
+        raise ValueError(
+            f"{path}: curve has {points} points but the configuration "
+            f"needs {expected_size} (samples_per_line mismatch?)")
+    size = expected_size if expected_size is not None else points
     curve = np.zeros(size, np.float32)
     for i, v in pairs:
-        if 0 <= i < size:
-            curve[i] = v
+        if i < 0 or i >= size:
+            raise ValueError(f"{path}: curve index {i} out of range [0, {size})")
+        curve[i] = v
     return curve

@@ -102,6 +102,18 @@ class Recorder:
         if self.on_done:
             self.on_done(path)
 
+    def flush(self) -> Optional[str]:
+        """End-of-stream flush: save whatever was captured so a source that
+        ends before ``buffers_to_record`` does not silently discard data.
+        Returns the written path, or None if nothing was captured."""
+        if not self.recording:
+            return None
+        if not self._slots:
+            self.recording = False
+            return None
+        self._save()
+        return self.last_file
+
     def abort(self) -> None:
         self.recording = False
         self._slots = []

@@ -92,6 +92,13 @@ class VirtualOctSource:
                 raise ValueError("packed 12-bit input needs an even sample count")
             self._buffer_bytes = acq.samples_per_buffer * 3 // 2
             line_samples = acq.ascans_per_bscan * acq.samples_per_line
+            if (bscan_offset * line_samples) % 2:
+                # an odd sample offset would land mid 3-byte pair and every
+                # later sample would decode nibble-shifted
+                raise ValueError(
+                    "packed 12-bit bscan_offset must skip an even number of "
+                    f"samples (offset {bscan_offset} x {line_samples} "
+                    "samples/B-scan is odd)")
             self._offset_bytes = bscan_offset * line_samples * 3 // 2
         else:
             self._buffer_bytes = acq.bytes_per_buffer

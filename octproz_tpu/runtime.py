@@ -479,6 +479,15 @@ class StreamingEngine:
                 self._drain_one(in_flight)
             # make the final dispatched step's completion observable
             jax.block_until_ready(self.model.fpn_state.mean_line)
+            # end-of-stream flush: a source that ends before
+            # buffers_to_record must not silently discard the capture
+            for rec in (self.raw_recorder, self.processed_recorder):
+                if rec.recording:
+                    path = rec.flush()
+                    self.on_info(
+                        f"stream ended mid-recording: "
+                        + (f"partial {rec.name} recording saved to {path}"
+                           if path else f"no {rec.name} buffers captured"))
         finally:
             self.running = False
             prefetcher.stop()
@@ -537,16 +546,23 @@ class StreamingEngine:
         # container dtype max — 12-bit codes ride in uint16
         vol = quantize_mod.dequantize(host_buffer, self.streaming_bit_depth)
         try:
-            save_bscan_png(base + "_bscan.png", vol,
-                           frame_nr=vol.shape[0] // 2)
-            save_enface_png(base + "_enface.png", vol,
-                            depth_nr=vol.shape[2] // 2)
-            # pinned to the CPU backend: a mid-stream raycast on a tunneled
-            # accelerator would stall (or wedge) the pipeline it shares
-            img = render_volume(vol, RenderParams(mode=RenderMode.MIP,
-                                                  step_length=0.02),
-                                yaw=0.5, pitch=0.4, out_shape=(256, 256),
-                                device=cpu_device())
+            # EVERYTHING here is pinned to the CPU backend — the projection
+            # ops are jnp too, and any mid-stream dispatch on a tunneled
+            # accelerator can stall (or wedge) the pipeline it shares
+            import contextlib
+
+            cpu = cpu_device()
+            ctx = (jax.default_device(cpu) if cpu is not None
+                   else contextlib.nullcontext())
+            with ctx:
+                save_bscan_png(base + "_bscan.png", vol,
+                               frame_nr=vol.shape[0] // 2)
+                save_enface_png(base + "_enface.png", vol,
+                                depth_nr=vol.shape[2] // 2)
+                img = render_volume(vol, RenderParams(mode=RenderMode.MIP,
+                                                      step_length=0.02),
+                                    yaw=0.5, pitch=0.4, out_shape=(256, 256),
+                                    device=cpu)
             save_png(base + "_volume.png", img)
             self.on_info(f"screenshots saved: {base}_*.png")
         except Exception as e:  # screenshots must never kill the stream

@@ -20,11 +20,15 @@ def test_csv_header_and_comma_decimal(tmp_path):
     np.testing.assert_allclose(curve, [1.5, 2.5, 0.0, 9.0])
 
 
-def test_csv_expected_size_pads_and_clips(tmp_path):
+def test_csv_expected_size_mismatch_raises(tmp_path):
+    """A curve recorded for a different geometry must not silently load
+    truncated or zero-padded."""
     p = tmp_path / "c.csv"
     p.write_text("0;1\n1;2\n9;99\n")
-    curve = load_curve_csv(str(p), expected_size=4)
-    np.testing.assert_allclose(curve, [1, 2, 0, 0])  # out-of-range dropped
+    with pytest.raises(ValueError, match="10 points.*needs 4"):
+        load_curve_csv(str(p), expected_size=4)
+    curve = load_curve_csv(str(p), expected_size=10)
+    np.testing.assert_allclose(curve[[0, 1, 9]], [1, 2, 99])
 
 
 def test_csv_errors(tmp_path):

@@ -368,3 +368,12 @@ def test_socket_stream_survives_non_dict_json_and_stalled_subscriber():
             assert client.frames_dropped > 0
     finally:
         srv.stop()
+
+
+def test_fwhm_interpolates_both_crossings_correctly():
+    """Right half-max crossing must interpolate TOWARD the peak (the offset
+    is signed); [0, .2, 1, .2, 0] has FWHM 1.25, not 2.0."""
+    line = np.array([0.0, 0.2, 1.0, 0.2, 0.0])
+    peaks = find_peaks(line)
+    assert len(peaks) == 1
+    assert peaks[0].fwhm == pytest.approx(1.25, abs=1e-6)
