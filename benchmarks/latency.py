@@ -40,6 +40,8 @@ def main() -> None:
     ap.add_argument("--compute-dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     args = ap.parse_args()
+    if args.n < 1:
+        ap.error("--n must be >= 1 (zero timed buffers yields no statistics)")
 
     if args.platform == "cpu":
         import jax

@@ -300,7 +300,14 @@ def _build_config(args, bundle=None, system=None):
                   for f in ("resample_coeffs", "dispersion_coeffs")}
     ck = dict(bundle.curve_kwargs)
     custom_csv = ck.pop("custom_resampling_filepath", None)
+    post_bg_csv = ck.pop("post_background_filepath", None)
     model_kw.update(ck)
+    if post_bg_csv:
+        # PROC_POST_BACKGROUND_FILEPATH: the recorded background curve
+        from .io.curvefiles import load_curve_csv
+
+        model_kw["post_background"] = load_curve_csv(
+            post_bg_csv, expected_size=acq.output_ascan_length)
     for field, base in coeff_base.items():
         v = model_kw[field]
         if any(x is None for x in v):
@@ -608,6 +615,7 @@ def cmd_settings(args) -> int:
     # into _build_config and get loaded.
     cli_csv = a.pop("klin_curve_csv", None)
     base_csv = bundle.curve_kwargs.pop("custom_resampling_filepath", None)
+    base_bg = bundle.curve_kwargs.pop("post_background_filepath", None)
     custom_csv = cli_csv or base_csv
     defaults = AcqParams()
     for field in _ACQ_FLAGS.values():
@@ -618,6 +626,8 @@ def cmd_settings(args) -> int:
                  "window_center", "window_fill_factor")}
     if custom_csv:
         curve_kw["custom_resampling_filepath"] = custom_csv
+    if base_bg:
+        curve_kw["post_background_filepath"] = base_bg
     sm = SettingsManager(args.path)
     configmap.to_settings(sm, acq=acq, cfg=cfg, curve_kwargs=curve_kw,
                           source_kwargs=_source_kwargs(args, bundle),

@@ -49,9 +49,12 @@ class DemoExtension(Extension):
         if not self._busy.acquire(blocking=False):
             return  # re-entrancy guard: still working on the previous frame
         try:
-            data = np.asarray(buffer, np.float64)
-            if np.issubdtype(np.asarray(buffer).dtype, np.integer):
-                data = data / (2.0 ** bit_depth - 1.0)
+            # quantized streams normalize by the quantizer's CODE max
+            # (ops/quantize.dequantize) — not 2**bit_depth-1, which is
+            # wrong for bit depths off the quantizer ladder
+            from ..ops.quantize import dequantize
+
+            data = np.asarray(dequantize(buffer, bit_depth), np.float64)
             self.average_intensity = float(data.mean())
         finally:
             self._busy.release()

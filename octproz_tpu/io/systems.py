@@ -59,10 +59,14 @@ class SystemRegistry:
 
     def deactivate(self) -> None:
         src = self.active_source
-        if src is not None and hasattr(src, "close"):
-            src.close()
-        self.active_name = None
-        self.active_source = None
+        try:
+            if src is not None and hasattr(src, "close"):
+                src.close()
+        finally:
+            # clear even when close() raises: the registry must never stay
+            # pinned to a dead source (each activate() deactivates first)
+            self.active_name = None
+            self.active_source = None
 
     def store_settings(self, name: str, values: dict) -> None:
         """Persist a system's settings group (storeSettings analog)."""

@@ -36,6 +36,7 @@ class FdOctModel:
         window_center: float = 0.5,
         window_fill_factor: float = 1.0,
         custom_resample_curve: Optional[np.ndarray] = None,
+        post_background: Optional[np.ndarray] = None,
         mesh=None,
         preflight: bool = True,
     ):
@@ -58,6 +59,7 @@ class FdOctModel:
             window_center=window_center,
             window_fill_factor=window_fill_factor,
             custom_resample_curve=custom_resample_curve,
+            post_background=post_background,
         )
         self.curves: Curves = curves_mod.make_curves(acq, cfg, **self._curve_kwargs)
         self.fpn_state: FpnState = pipeline.initial_fpn_state(acq)

@@ -217,12 +217,23 @@ def from_settings(sm: SettingsManager) -> SettingsBundle:
             and proc.get("custom_resampling_filepath")):
         b.curve_kwargs["custom_resampling_filepath"] = \
             proc["custom_resampling_filepath"]
+    if proc.get("post_processing_background_filepath"):
+        # PROC_POST_BACKGROUND_FILEPATH (sidebar.h:91): the recorded
+        # background curve file
+        b.curve_kwargs["post_background_filepath"] = \
+            proc["post_processing_background_filepath"]
 
     # Legacy keys the round-2 CLI read from [processing] (its
     # _apply_settings_file); the canonical locations above win.
     if "klin_coeffs" in proc and "resample_coeffs" not in b.curve_kwargs:
-        b.curve_kwargs["resample_coeffs"] = tuple(
-            float(x) for x in proc["klin_coeffs"].split(","))
+        try:
+            coeffs = tuple(float(x) for x in proc["klin_coeffs"].split(","))
+            if len(coeffs) != 4:
+                raise ValueError(f"expected 4 comma-separated values, "
+                                 f"got {len(coeffs)}")
+        except ValueError as e:
+            raise ValueError(f"settings [{PROC}] klin_coeffs: {e}") from e
+        b.curve_kwargs["resample_coeffs"] = coeffs
     for key in ("compute_dtype", "matmul_precision", "output_dtype"):
         if key in proc:
             b.cfg_kwargs.setdefault(key, proc[key])
@@ -292,6 +303,9 @@ def to_settings(
         if path:
             proc["custom_resampling"] = "1"
             proc["custom_resampling_filepath"] = str(path)
+        bg_path = curve_kwargs.get("post_background_filepath")
+        if bg_path:
+            proc["post_processing_background_filepath"] = str(bg_path)
         if proc:
             sm.update_group(PROC, proc)
     if streaming:

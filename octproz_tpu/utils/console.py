@@ -39,7 +39,12 @@ class MessageConsole:
         if self.echo:
             print(msg.format(), flush=True)
         for cb in list(self._subscribers):
-            cb(msg)
+            try:
+                cb(msg)
+            except Exception as e:
+                # a broken log subscriber must never kill the stream that is
+                # merely logging (decoupled signal/slot semantics)
+                print(f"[console] subscriber failed: {e}", flush=True)
 
     def info(self, text: str) -> None:
         self._emit("info", text)

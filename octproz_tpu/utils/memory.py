@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import numpy as np
+
 from ..params import AcqParams, FpnMode, ProcConfig
 
 
@@ -33,8 +35,11 @@ def estimate_footprint(acq: AcqParams, cfg: ProcConfig,
     in_flight = max(1, max_in_flight)
 
     comp: Dict[str, int] = {}
-    # raw buffers resident on device (H2D of each in-flight step)
-    comp["raw"] = acq.bytes_per_buffer * in_flight
+    # raw buffers resident on device (H2D of each in-flight step) — sized
+    # by the device CONTAINER dtype (a 24-bit source rides in uint32), not
+    # the packed file bytes
+    raw_container = np.dtype(acq.raw_dtype).itemsize
+    comp["raw"] = acq.samples_per_buffer * raw_container * in_flight
     # processed magnitude output per in-flight step
     comp["processed"] = lines * half * f * in_flight
 

@@ -35,6 +35,11 @@ class SettingsManager:
     def __init__(self, path: Optional[str] = None):
         self.path = path or default_settings_path()
         self._parser = configparser.ConfigParser(interpolation=None)
+        # preserve key case (QSettings semantics): per-plugin groups hold
+        # arbitrary keys ('filePath' must round-trip, not become
+        # 'filepath'); the built-in tables are all-lowercase like the
+        # reference's sidebar.h macros, so they are unaffected
+        self._parser.optionxform = str
         if os.path.exists(self.path):
             self._parser.read(self.path)
 

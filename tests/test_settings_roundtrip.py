@@ -281,3 +281,49 @@ def test_to_settings_accepts_partial_coefficient_tuples(tmp_path):
     proc = out.get_group("processing")
     assert proc["resampling_c1"] == "430.0"
     assert "resampling_c0" not in proc
+
+
+def test_post_background_filepath_roundtrip_and_load(tmp_path):
+    """PROC_POST_BACKGROUND_FILEPATH (sidebar.h:91): the recorded
+    background curve file round-trips and is applied to the config."""
+    bg = tmp_path / "bg.csv"
+    bg.write_text("".join(f"{i};0.25\n" for i in range(64)))
+    ini = tmp_path / "s.ini"
+    ini.write_text("[acquisition]\nsamples_per_line = 128\n"
+                   "ascans_per_bscan = 8\nbscans_per_buffer = 4\n"
+                   "[processing]\npost_processing_background_removal = 1\n"
+                   f"post_processing_background_filepath = {bg}\n")
+    b = configmap.from_settings(SettingsManager(str(ini)))
+    assert b.curve_kwargs["post_background_filepath"] == str(bg)
+
+    import argparse
+
+    from octproz_tpu.cli import _build_config
+
+    ns = argparse.Namespace(settings=str(ini))
+    acq, cfg, model_kw = _build_config(ns)
+    assert cfg.post_background_removal
+    np.testing.assert_allclose(model_kw["post_background"],
+                               np.full(64, 0.25, np.float32))
+    # the writer puts it back
+    out = SettingsManager(str(tmp_path / "out.ini"))
+    configmap.to_settings(out, curve_kwargs=b.curve_kwargs)
+    assert out.get_group("processing")[
+        "post_processing_background_filepath"] == str(bg)
+
+
+def test_settings_preserve_plugin_key_case(tmp_path):
+    """Per-plugin groups hold arbitrary keys: 'filePath' must round-trip,
+    not be silently lowercased (QSettings semantics)."""
+    sm = SettingsManager(str(tmp_path / "s.ini"))
+    sm.set_group("system:demo", {"filePath": "/x.raw", "waitTimeUs": 10})
+    sm.save()
+    back = SettingsManager(str(tmp_path / "s.ini")).get_group("system:demo")
+    assert back == {"filePath": "/x.raw", "waitTimeUs": "10"}
+
+
+def test_legacy_klin_coeffs_validation_names_the_key(tmp_path):
+    ini = tmp_path / "bad.ini"
+    ini.write_text("[processing]\nklin_coeffs = 0, 255\n")
+    with pytest.raises(ValueError, match=r"klin_coeffs.*4"):
+        configmap.from_settings(SettingsManager(str(ini)))
