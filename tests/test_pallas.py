@@ -534,3 +534,33 @@ def test_pick_tile_honors_cap_for_odd_line_counts():
     # within the cap must win, not a whole-buffer tile
     tile = _pick_tile(1785, n_in=1024, max_tile=64)
     assert tile <= 64 and 1785 % tile == 0 and tile > 1
+
+
+def test_fused_depth_scale_odd_line_count():
+    """Odd (non-power-of-two-divisible) line counts run through the divisor
+    fallback tile and still match the XLA fold."""
+    import dataclasses
+
+    acq = AcqParams(samples_per_line=128, ascans_per_bscan=15,
+                    bscans_per_buffer=7, bit_depth=12)  # 105 lines
+    cfg = ProcConfig(bitshift=True, resampling=True,
+                     interpolation=Interpolation.CUBIC, windowing=True,
+                     log_scaling=True, fft_via_matmul=True)
+    curves = curves_mod.make_curves(
+        acq, cfg, resample_coeffs=(0.0, 127.0, 5.0, 0.0),
+        window_type=WindowType.HANNING)
+    raw = jnp.asarray(np.random.default_rng(5).integers(
+        0, 4096, acq.buffer_shape).astype(np.uint16))
+    mean = jnp.zeros((2, acq.output_ascan_length), jnp.float32)
+    from octproz_tpu.pallas.fused_prep import fused_depth_scale
+
+    got = np.asarray(fused_depth_scale(raw, curves.depth_op_re,
+                                       curves.depth_op_im, mean, acq, cfg))
+    xcfg = dataclasses.replace(cfg, fold_backend="xla")
+    xcurves = curves_mod.make_curves(
+        acq, xcfg, resample_coeffs=(0.0, 127.0, 5.0, 0.0),
+        window_type=WindowType.HANNING)
+    from octproz_tpu.pipeline import initial_fpn_state, make_step
+
+    want, _ = make_step(acq, xcfg)(raw, xcurves, initial_fpn_state(acq))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=2e-4, atol=2e-4)
