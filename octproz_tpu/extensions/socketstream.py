@@ -211,6 +211,14 @@ class SocketStreamServer(Extension):
     def processed_data_received(self, buffer, bit_depth, spl, apb, bpb, bpv, nr):
         self._server.push_frame(np.asarray(buffer), nr)
 
+    @property
+    def frames_dropped(self) -> int:
+        """Total frames dropped across clients because their send queues
+        were full (stalled consumers) — observability for operators."""
+        with self._server._clients_lock:
+            return sum(getattr(c, "frames_dropped", 0)
+                       for c in self._server._clients)
+
 
 def read_frame(sock_file) -> Optional[Dict]:
     """Client-side helper: read one server message; for frames, attaches the

@@ -366,6 +366,7 @@ def test_socket_stream_survives_non_dict_json_and_stalled_subscriber():
             assert elapsed < 5.0
             client = srv._server._clients[0]
             assert client.frames_dropped > 0
+            assert srv.frames_dropped == client.frames_dropped
     finally:
         srv.stop()
 
