@@ -123,6 +123,12 @@ class _ClientHandler(socketserver.StreamRequestHandler):
             return
         if self._writer_dead:
             raise ConnectionError("writer thread dead")
+        if self._sendq.full():
+            # advisory fast-path: don't pay the megabyte serialization for
+            # a frame that will be dropped anyway (put_nowait below still
+            # guards the race)
+            self.frames_dropped += 1
+            return
         data = np.ascontiguousarray(array)
         header = json.dumps({
             "type": "frame", "nbytes": data.nbytes, "dtype": str(data.dtype),
@@ -142,6 +148,7 @@ class _StreamServer(socketserver.ThreadingTCPServer):
         self._clients: list = []
         self._clients_lock = threading.Lock()
         self._bus = bus
+        self.frames_dropped_closed = 0  # from disconnected clients
 
     def register_client(self, client) -> None:
         client.start_writer()
@@ -153,6 +160,9 @@ class _StreamServer(socketserver.ThreadingTCPServer):
         with self._clients_lock:
             if client in self._clients:
                 self._clients.remove(client)
+                # keep the aggregate drop counter monotonic
+                self.frames_dropped_closed += getattr(client,
+                                                      "frames_dropped", 0)
 
     def route_command(self, msg: Dict) -> bool:
         """Remote control: forward to the plugin message bus
@@ -213,11 +223,12 @@ class SocketStreamServer(Extension):
 
     @property
     def frames_dropped(self) -> int:
-        """Total frames dropped across clients because their send queues
-        were full (stalled consumers) — observability for operators."""
+        """Total frames dropped because client send queues were full
+        (stalled consumers) — monotonic across disconnects."""
         with self._server._clients_lock:
-            return sum(getattr(c, "frames_dropped", 0)
+            live = sum(getattr(c, "frames_dropped", 0)
                        for c in self._server._clients)
+            return self._server.frames_dropped_closed + live
 
 
 def read_frame(sock_file) -> Optional[Dict]:

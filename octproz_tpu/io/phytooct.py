@@ -225,10 +225,19 @@ class PortableOctSystem:
             delay = next_due - time.monotonic()
             if delay > 0:           # camera line rate paces the producer
                 time.sleep(delay)
-            try:
-                self._ring.write_blocking(frame)
-            except TimeoutError:    # consumer gone; stop producing
-                break
+            # The consumer's FIRST step compile can stall the ring for
+            # 80-300+ s on a remote-compile backend (CLAUDE.md); a stall is
+            # NOT "consumer gone", so retry in short slices (checking for
+            # close()) up to a patience far beyond any compile.
+            deadline = time.monotonic() + 900.0
+            while not self._stop.is_set():
+                try:
+                    self._ring.write_blocking(frame, timeout_s=5.0)
+                    break
+                except TimeoutError:
+                    if time.monotonic() > deadline:
+                        self._ring.finish()
+                        return      # genuinely stuck consumer
         self._ring.finish()
 
     def buffers(self) -> Iterator[np.ndarray]:
@@ -243,12 +252,17 @@ class PortableOctSystem:
         self._ring.close()
 
     # -- calibration surface ------------------------------------------------
-    def recommended_config(self, tpu: bool = False) -> ProcConfig:
+    def recommended_config(self, tpu: bool = True) -> ProcConfig:
         """The processing chain this device class needs: every enabled stage
         cancels one injected artifact (bitshift <- left-aligned ADC, k-lin
         <- spectrometer warp, dispersion <- fiber mismatch, FPN <- camera
         columns, flip <- bidirectional scan, sinusoidal <- resonant
-        scanner)."""
+        scanner).
+
+        ``tpu=True`` (default) selects the planar fold path — it runs fine
+        on CPU too and the axon TPU backend REQUIRES it (no complex64), so
+        a system: source must never default to the jnp.fft path there.
+        """
         return ProcConfig(
             bitshift=True,
             resampling=True, interpolation=Interpolation.CUBIC,
@@ -272,7 +286,10 @@ class PortableOctSystem:
 def _get(settings: dict, key: str, cast, default):
     raw = settings.get(key, default)
     if cast is bool and isinstance(raw, str):
-        return raw.strip().lower() in ("1", "true", "yes", "on")
+        # same truthy vocabulary as every other settings group
+        from ..utils.configmap import _parse_bool
+
+        return _parse_bool(raw)
     return cast(raw)
 
 

@@ -398,10 +398,15 @@ class StreamingEngine:
                 # blocking CUDA event (cuda_code.cu:1416-1420).  Without
                 # it nothing bounds how far the host runs ahead of the
                 # device.
-                in_flight.append((buffer_nr, None, None,
+                in_flight.append((buffer_nr, None, None, False,
                                   self._probe(processed)))
             else:
-                in_flight.append((buffer_nr, dev_float, dev_quant, None))
+                # record_quant is the ENQUEUE-time decision: a recording
+                # started while these buffers are in flight must not
+                # swallow pre-start data (or mix quantized frames into a
+                # float32 recording)
+                in_flight.append((buffer_nr, dev_float, dev_quant,
+                                  record_quant, None))
 
             if len(in_flight) > self.max_in_flight:
                 self._drain_one(in_flight)
@@ -494,7 +499,8 @@ class StreamingEngine:
         return processed_count
 
     def _drain_one(self, in_flight: List[tuple]) -> None:
-        buffer_nr, dev_float, dev_quant, throttle = in_flight.pop(0)
+        buffer_nr, dev_float, dev_quant, record_quant, throttle = \
+            in_flight.pop(0)
         if dev_float is None and dev_quant is None:
             if throttle is not None:
                 jax.block_until_ready(throttle)  # back-pressure only
@@ -513,7 +519,7 @@ class StreamingEngine:
             self.processed_recorder.record_buffer(host_f, buffer_nr)
         if dev_quant is not None:
             host = self.model.fetch(dev_quant)
-            if self.processed_recorder.recording and dev_float is None:
+            if record_quant and self.processed_recorder.recording:
                 self.processed_recorder.record_buffer(host, buffer_nr)
             self.extensions.feed_processed(host, self.model.acq,
                                            self.streaming_bit_depth,

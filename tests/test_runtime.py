@@ -233,7 +233,7 @@ def test_unfetched_buffers_still_throttle():
     eng._drain_one = spy
     assert eng.run() == 8
     assert drained, "nothing was drained"
-    for nr, dev_float, dev_quant, throttle in drained:
+    for nr, dev_float, dev_quant, record_quant, throttle in drained:
         assert dev_float is None and dev_quant is None
         assert throttle is not None  # the retained device scalar
 
@@ -475,3 +475,30 @@ def test_extension_activated_mid_stream_gets_raw_data():
     eng.on_processed = activate_late
     eng.run()
     assert ext.raw_calls, "raw fan-out never started after mid-stream activation"
+
+
+def test_recording_started_mid_stream_excludes_in_flight_quantized(tmp_path):
+    """Recording is an ENQUEUE-time decision: quantized buffers already in
+    flight when a float32 recording starts must not be recorded (they would
+    consume slots with pre-start data AND mix uint16 codes into the float
+    file)."""
+    eng = make_engine(n_buffers=12, stream_to_host=True, max_in_flight=4)
+    started = []
+
+    def cb(host, nr):
+        if not started:
+            started.append(1)
+            eng.start_recording(RecordingParams(
+                save_dir=str(tmp_path), name="mid", buffers_to_record=3,
+                save_raw=False, save_processed=True,
+                save_as_32bit_float=True, save_meta=False))
+
+    eng.on_processed = cb
+    eng.run()
+    f = glob.glob(str(tmp_path / "*float32*.raw"))
+    assert f
+    data = np.fromfile(f[0], np.float32)
+    assert data.size == 3 * ACQ.ascans_per_buffer * ACQ.output_ascan_length
+    # float magnitudes are O(1) (unclamped); mixed-in uint16 codes would
+    # reach the 4095 full scale
+    assert np.isfinite(data).all() and data.max() < 10.0
