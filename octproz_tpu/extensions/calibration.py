@@ -65,23 +65,19 @@ def estimate_dispersion_coeffs(
     starting value; with ``estimate_d3=False`` it stays fixed and only d2
     is searched (1-D refined grid).
     """
-    import contextlib
-
     import jax
     import jax.numpy as jnp
 
     from .. import curves as curves_mod
     from .. import pipeline
-    from ..viz.render import cpu_device
+    from ..viz.render import cpu_pinned
 
     # The whole search is pinned to the CPU backend: it uses complex64 and
     # jnp.fft, which the axon TPU backend does not implement (and a failed
     # op wedges a tunneled session) — same rule as the live viewer's
     # renders.  Curves may hold accelerator arrays; pull host copies so the
     # committed devices don't override the pin.
-    cpu = cpu_device()
-    ctx = (jax.default_device(cpu) if cpu is not None
-           else contextlib.nullcontext())
+    ctx = cpu_pinned()
     curves = jax.tree_util.tree_map(np.asarray, curves)
 
     # DC removal is mandatory here: a DC offset chirped by the candidate

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import threading
+import time
 from typing import Iterator, Optional
 
 import numpy as np
@@ -212,7 +213,6 @@ class PortableOctSystem:
         self._thread.start()
 
     def _produce(self) -> None:
-        import time
         line_period = self.device_cfg.exposure_us * 1e-6
         lines_per_buffer = (self.acq.ascans_per_bscan *
                             self.acq.bscans_per_buffer)

@@ -8,6 +8,7 @@ unsigned integers of the smallest container (uint8 / uint16 / uint32).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # Note: the reference's 32-bit scale 4294967295 rounds to 2^32 in float32 and
 # relies on CUDA's saturating float->uint cast; float32 cannot represent
@@ -50,8 +51,6 @@ def code_max(bit_depth: int) -> float:
 
 def dequantize(x, bit_depth: int):
     """Quantized codes (or float passthrough) -> float32 in [0, 1]."""
-    import numpy as np
-
     out = np.asarray(x, np.float32)
     if np.issubdtype(np.asarray(x).dtype, np.integer):
         out = out / np.float32(code_max(bit_depth))

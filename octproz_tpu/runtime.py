@@ -545,7 +545,7 @@ class StreamingEngine:
         (screenshot fan-out analog, octprozapp.cpp:266-292)."""
         from .viz import (RenderMode, RenderParams, render_volume,
                           save_bscan_png, save_enface_png, save_png)
-        from .viz.render import cpu_device
+        from .viz.render import cpu_device, cpu_pinned
 
         base = self.processed_recorder.last_file[:-4]
         # normalize by the quantized CODE max (2**bits - 1), not the
@@ -555,12 +555,7 @@ class StreamingEngine:
             # EVERYTHING here is pinned to the CPU backend — the projection
             # ops are jnp too, and any mid-stream dispatch on a tunneled
             # accelerator can stall (or wedge) the pipeline it shares
-            import contextlib
-
-            cpu = cpu_device()
-            ctx = (jax.default_device(cpu) if cpu is not None
-                   else contextlib.nullcontext())
-            with ctx:
+            with cpu_pinned():
                 save_bscan_png(base + "_bscan.png", vol,
                                frame_nr=vol.shape[0] // 2)
                 save_enface_png(base + "_enface.png", vol,
@@ -568,7 +563,7 @@ class StreamingEngine:
                 img = render_volume(vol, RenderParams(mode=RenderMode.MIP,
                                                       step_length=0.02),
                                     yaw=0.5, pitch=0.4, out_shape=(256, 256),
-                                    device=cpu)
+                                    device=cpu_device())
             save_png(base + "_volume.png", img)
             self.on_info(f"screenshots saved: {base}_*.png")
         except Exception as e:  # screenshots must never kill the stream

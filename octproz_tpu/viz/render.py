@@ -307,6 +307,18 @@ def cpu_device():
         return None
 
 
+def cpu_pinned():
+    """Context manager scoping jax dispatch to the CPU backend (a no-op
+    when that backend is unavailable) — the shared form of the
+    serving-path pin rule above for code that runs whole jnp blocks, not
+    just render_volume."""
+    import contextlib
+
+    dev = cpu_device()
+    return (jax.default_device(dev) if dev is not None
+            else contextlib.nullcontext())
+
+
 def render_volume(
     volume,
     params: RenderParams = RenderParams(),
