@@ -217,28 +217,31 @@ class PortableOctSystem:
         lines_per_buffer = (self.acq.ascans_per_bscan *
                             self.acq.bscans_per_buffer)
         next_due = time.monotonic()
-        for i in range(self.n_buffers):
-            if self._stop.is_set():
-                break
-            frame = self.model.buffer(i)
-            next_due += line_period * lines_per_buffer
-            delay = next_due - time.monotonic()
-            if delay > 0:           # camera line rate paces the producer
-                time.sleep(delay)
-            # The consumer's FIRST step compile can stall the ring for
-            # 80-300+ s on a remote-compile backend (CLAUDE.md); a stall is
-            # NOT "consumer gone", so retry in short slices (checking for
-            # close()) up to a patience far beyond any compile.
-            deadline = time.monotonic() + 900.0
-            while not self._stop.is_set():
-                try:
-                    self._ring.write_blocking(frame, timeout_s=5.0)
+        try:
+            for i in range(self.n_buffers):
+                if self._stop.is_set():
                     break
-                except TimeoutError:
-                    if time.monotonic() > deadline:
-                        self._ring.finish()
-                        return      # genuinely stuck consumer
-        self._ring.finish()
+                frame = self.model.buffer(i)
+                next_due += line_period * lines_per_buffer
+                delay = next_due - time.monotonic()
+                if delay > 0:       # camera line rate paces the producer
+                    time.sleep(delay)
+                # The consumer's FIRST step compile can stall the ring for
+                # 80-300+ s on a remote-compile backend (CLAUDE.md); a
+                # stall is NOT "consumer gone", so retry in short slices
+                # (checking for close()) with patience beyond any compile.
+                deadline = time.monotonic() + 900.0
+                while not self._stop.is_set():
+                    try:
+                        self._ring.write_blocking(frame, timeout_s=5.0)
+                        break
+                    except TimeoutError:
+                        if time.monotonic() > deadline:
+                            return  # genuinely stuck consumer
+        finally:
+            # ALWAYS end the stream, even if frame generation raised: the
+            # consumer must see end-of-stream, not a 10 s idle timeout
+            self._ring.finish()
 
     def buffers(self) -> Iterator[np.ndarray]:
         self.start()
