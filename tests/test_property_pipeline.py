@@ -31,12 +31,14 @@ def test_random_config_matches_oracle(seed):
     acq = AcqParams(samples_per_line=N, ascans_per_bscan=ASC,
                     bscans_per_buffer=BSC, buffers_per_volume=1,
                     bit_depth=int(rng.choice([8, 12, 16])))
-    interp = Interpolation(str(rng.choice(["linear", "cubic", "lanczos"])))
+    interp = Interpolation(str(rng.choice(["linear", "quadratic", "cubic",
+                                           "lanczos"])))
     cfg = ProcConfig(
         bitshift=flip() and acq.bit_depth == 12,
         background_removal=flip(),
         rolling_average_window=int(rng.integers(2, 17)),
-        resampling=True, interpolation=interp,
+        resampling=flip(), interpolation=interp,
+        resample_via_matmul=flip(),
         windowing=flip(), dispersion=flip(),
         fpn_mode=FpnMode.OFF,
         log_scaling=flip(),
@@ -66,8 +68,7 @@ def test_random_config_matches_oracle(seed):
         window_fill_factor=float(rng.uniform(0.5, 1.0)),
         post_background=post_bg)
 
-    hi = 2 ** min(acq.bit_depth, 16) - 1
-    raw = rng.integers(0, hi + 1, acq.buffer_shape)
+    raw = rng.integers(0, 2 ** acq.bit_depth, acq.buffer_shape)
     raw = raw.astype(np.uint8 if acq.bit_depth <= 8 else np.uint16)
 
     got, _ = make_step(acq, cfg)(raw, curves, initial_fpn_state(acq))
@@ -77,7 +78,8 @@ def test_random_config_matches_oracle(seed):
         raw, acq.bit_depth, bitshift=cfg.bitshift,
         background_window=(cfg.rolling_average_window
                            if cfg.background_removal else None),
-        resample_curve=np.asarray(curves.resample_curve),
+        resample_curve=(np.asarray(curves.resample_curve)
+                        if cfg.resampling else None),
         interpolation=cfg.interpolation.value,
         window=(np.asarray(curves.window) if cfg.windowing else None),
         phase=(np.asarray(curves.phase) if cfg.dispersion else None),
