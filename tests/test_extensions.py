@@ -66,12 +66,15 @@ def test_find_peaks_subpixel_and_fwhm():
 
 
 def test_find_peaks_multiple_ordered_by_strength():
-    line = _gaussian_line() + _gaussian_line(center=180.0, sigma=2.0, amp=0.5,
-                                             floor=0.0)
+    # the STRONGER peak sits at the HIGHER index, so index-sorted output
+    # would fail the strongest-first ordering assertion
+    line = _gaussian_line(amp=0.5) + _gaussian_line(center=180.0, sigma=2.0,
+                                                    amp=1.0, floor=0.0)
     peaks = find_peaks(line, threshold=0.1, max_peaks=4)
     assert len(peaks) == 2
-    assert peaks[0].index < peaks[1].index or peaks[0].value > peaks[1].value
-    assert abs(peaks[0].subpixel_index - 100.3) < 0.5
+    assert peaks[0].value > peaks[1].value        # strongest first
+    assert abs(peaks[0].subpixel_index - 180.0) < 0.5
+    assert abs(peaks[1].subpixel_index - 100.3) < 0.5
 
 
 def test_fit_axial_psf_recovers_sigma():

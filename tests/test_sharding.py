@@ -94,10 +94,14 @@ def test_fpn_once_reuses_mean_line(rng):
     np.testing.assert_array_equal(np.asarray(state1.mean_line),
                                   np.asarray(state2.mean_line))
 
+    # replay buffer 2 on the single-device path with the same carried
+    # state: the post-determination sharded output must match it
     ref_step = pipeline.make_step(ACQ, cfg)
-    # replay on the single-device path with the same carried state
-    raw2 = np.asarray(out2)  # shapes only; parity of state reuse checked above
-    assert raw2.shape == ACQ.processed_buffer_shape
+    raw2 = _raw(np.random.default_rng(99))
+    ref_out, _ = ref_step(jnp.asarray(raw2), curves, state1)
+    got_out, _ = step(jnp.asarray(raw2), curves, state1)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_output_sharding_layout(rng):
