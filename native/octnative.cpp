@@ -96,8 +96,10 @@ int rb_acquire_write(void* handle) {
 
 void rb_commit_write(void* handle, int slot) {
     RingBuffer* rb = static_cast<RingBuffer*>(handle);
+    // ready first (release), THEN the counter: a consumer that has seen
+    // produced >= k is guaranteed to find slot k's ready flag set.
     rb->ready[slot].store(1, std::memory_order_release);
-    rb->produced.fetch_add(1, std::memory_order_relaxed);
+    rb->produced.fetch_add(1, std::memory_order_release);
 }
 
 // Consumer: next ready slot index, or -1 if nothing is ready.
@@ -113,6 +115,23 @@ void rb_release_read(void* handle, int slot) {
     RingBuffer* rb = static_cast<RingBuffer*>(handle);
     rb->ready[slot].store(0, std::memory_order_release);
     rb->consumed.fetch_add(1, std::memory_order_relaxed);
+}
+
+// Monotonic commit/release counters.  These are the end-of-stream count
+// contract (the analog of the reference's bufferReadyArray handshake,
+// octproz_devkit/src/acquisitionbuffer.h:53-58): a producer publishes its
+// final produced count at finish() (read on its own thread, so exact) and
+// the consumer drains until consumed == that count — a "finished" flag plus
+// an empty-poll is NOT sufficient (poll -1 / commit+finish / flag check is
+// a lost-wakeup interleaving).
+long rb_produced(void* handle) {
+    return static_cast<RingBuffer*>(handle)
+        ->produced.load(std::memory_order_acquire);
+}
+
+long rb_consumed(void* handle) {
+    return static_cast<RingBuffer*>(handle)
+        ->consumed.load(std::memory_order_acquire);
 }
 
 // ---------------------------------------------------------------------------

@@ -46,7 +46,7 @@ class HardwareRingSource:
                                             acq.raw_dtype)
         self.poll_interval_s = poll_interval_s
         self.timeout_s = timeout_s
-        self._finished = False
+        self._final_count: Optional[int] = None
 
     # -- producer API -------------------------------------------------------
     def acquire_write(self) -> int:
@@ -75,17 +75,32 @@ class HardwareRingSource:
         self.ring.commit_write(slot)
 
     def finish(self) -> None:
-        """Signal end-of-stream; the consumer stops once the ring drains."""
-        self._finished = True
+        """Signal end-of-stream by publishing the final produced count.
+
+        MUST be called on the producer thread after its last
+        :meth:`commit_write` (the producer's own ``finally`` is the natural
+        place): the consumer then drains until ``consumed == produced`` —
+        a count contract.  The earlier design (bare ``finished`` flag +
+        empty-poll) had a lost-wakeup race: consumer polls an empty ring,
+        producer commits the final slot AND sets the flag, consumer then
+        sees the flag and returns with a committed slot unread (root cause
+        of the round-3 flake; see docs/troubleshooting.md).
+        """
+        self._final_count = self.ring.produced()
 
     # -- consumer API (AcquisitionSource protocol) --------------------------
     def buffers(self) -> Iterator[np.ndarray]:
         idle_since = None
         while True:
+            final = self._final_count
+            if final is not None and self.ring.consumed() >= final:
+                return
             slot = self.ring.acquire_read()
             if slot < 0:
-                if self._finished:
-                    return
+                # NOTE: the ring was polled AFTER reading the final count,
+                # so "empty + count reached" can never lose a commit; with
+                # a published count, committed slots are already visible
+                # and the next poll picks them up.
                 now = time.monotonic()
                 idle_since = idle_since or now
                 if self.timeout_s is not None and now - idle_since > self.timeout_s:

@@ -72,6 +72,10 @@ def load_library() -> Optional[ctypes.CDLL]:
         for name in ("rb_commit_write", "rb_release_read"):
             fn = getattr(lib, name)
             fn.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        for name in ("rb_produced", "rb_consumed"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_long
+            fn.argtypes = [ctypes.c_void_p]
         lib.file_read_at.restype = ctypes.c_long
         lib.file_read_at.argtypes = [ctypes.c_char_p, ctypes.c_long,
                                      ctypes.c_long, ctypes.c_void_p]
@@ -127,6 +131,14 @@ class NativeRingBuffer:
 
     def release_read(self, slot: int) -> None:
         self._lib.rb_release_read(self._handle, slot)
+
+    def produced(self) -> int:
+        """Total slots ever committed (monotonic)."""
+        return self._lib.rb_produced(self._handle)
+
+    def consumed(self) -> int:
+        """Total slots ever released (monotonic)."""
+        return self._lib.rb_consumed(self._handle)
 
     def view(self, slot: int) -> np.ndarray:
         """Zero-copy numpy view of a slot."""
