@@ -176,10 +176,15 @@ class SyntheticSource:
         self._template = base
         self._noise_scale = 0.01 * max_code
         self._max_code = max_code
-        self._rng = rng
+        self._seed = seed
 
     def read_buffer(self, index: int) -> np.ndarray:
-        noise = self._rng.normal(0.0, self._noise_scale, self.acq.buffer_shape)
+        # noise keyed by (seed, buffer index): any buffer can be regenerated
+        # exactly, so a replayed stream is bit-identical run to run (the
+        # replay property PhytoDeviceModel has; a shared-RNG stream was not
+        # reproducible per-buffer)
+        rng = np.random.default_rng((self._seed, 2, index))
+        noise = rng.normal(0.0, self._noise_scale, self.acq.buffer_shape)
         raw = np.clip(self._template[None, None, :] + noise, 0, self._max_code)
         return raw.astype(self._dtype)
 

@@ -294,7 +294,12 @@ class ProcConfig:
 def default_full_config() -> ProcConfig:
     """The benchmark configuration of the reference: cubic k-linearization,
     dispersion, windowing, FPN once, log scaling
-    (performance/v180/performance_v180.md:20-52)."""
+    (performance/v180/performance_v180.md:20-52).
+
+    ``fft_via_matmul=True`` is the house rule for every exported default:
+    the planar full-fold GEMM runs on all backends, and the axon TPU
+    backend (no complex64) REQUIRES it.
+    """
     return ProcConfig(
         resampling=True,
         interpolation=Interpolation.CUBIC,
@@ -302,6 +307,7 @@ def default_full_config() -> ProcConfig:
         dispersion=True,
         fpn_mode=FpnMode.ONCE,
         log_scaling=True,
+        fft_via_matmul=True,
     )
 
 

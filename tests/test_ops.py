@@ -79,6 +79,35 @@ class TestResample:
         want = oracle.resample(x, curve, "lanczos")
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
+    def test_lanczos_edge_semantics_no_cross_line_bleed(self, rng):
+        """Pins the documented deviation from the reference (parity.md,
+        ops/resample.py:27-33): near-edge curve values use per-tap edge
+        replication WITHIN the A-scan.  Two consequences the reference's
+        flat-buffer offset clamp (cuda_code.cu:313) violates: (1) the first
+        A-scan of a buffer resamples exactly like every other A-scan — no
+        reads bleed into the neighboring line; (2) near-edge outputs are a
+        clamped-tap weighted sum over the line's own samples."""
+        curve = np.clip(self._curve(rng), 0.0, self.N - 3)
+        curve[:4] = [0.0, 1.5, 3.0, 6.0]          # within 7 of the left edge
+        curve[-3:] = [self.N - 9.5, self.N - 4, self.N - 3]  # right edge
+        m = resample.build_resample_matrix(curve, Interpolation.LANCZOS)
+        # same line content placed at different A-scan rows gives identical
+        # output rows: the operator never indexes outside the line
+        line = rng.normal(size=self.N).astype(np.float32)
+        x = np.stack([line, rng.normal(size=self.N).astype(np.float32), line])
+        got = np.asarray(resample.apply_matmul(jnp.asarray(x), jnp.asarray(m)))
+        np.testing.assert_array_equal(got[0], got[2])
+        # explicit oracle: taps clamped to [0, N-1] (edge replication)
+        idx, w = resample.interpolation_taps(curve, Interpolation.LANCZOS)
+        want = (line[np.clip(idx, 0, self.N - 1)] * w).sum(axis=1)
+        np.testing.assert_allclose(got[0], want, rtol=2e-4, atol=2e-4)
+        # a constant line stays constant to within the truncated-sinc
+        # kernel's intrinsic ripple (the weights don't sum exactly to 1;
+        # the reference doesn't renormalize either, cuda_code.cu:297-326)
+        const = np.full((1, self.N), 2.5, np.float32)
+        got_c = np.asarray(resample.apply_matmul(jnp.asarray(const), jnp.asarray(m)))
+        np.testing.assert_allclose(got_c, 2.5, rtol=2e-3)
+
     @pytest.mark.parametrize("mode", list(Interpolation))
     def test_gather_vs_matrix(self, rng, mode):
         curve = self._curve(rng, lo=8.0, hi=self.N - 10)
