@@ -83,8 +83,16 @@ def sinusoidal_correction(volume: jnp.ndarray, curve: jnp.ndarray) -> jnp.ndarra
     f1 = jnp.take(volume, jnp.clip(x0 + 1, 0, n_asc - 1), axis=1)
     out = f0 + (f1 - f0) * frac
     # Reference guard `index < samples - width` (cuda_code.cu:499) leaves the
-    # final A-scan of the buffer untouched.
-    return out.at[-1, -1, :].set(volume[-1, -1, :])
+    # final A-scan of the buffer untouched.  Expressed as an elementwise
+    # index-mask select, NOT `.at[-1, -1].set(...)`: the global-index update
+    # makes GSPMD ship a whole B-scan between shards (a collective-permute
+    # plus an all-reduce on B-scan-sharded meshes, measured in
+    # tests/test_traffic.py), while the mask select partitions to pure
+    # local compute.
+    n_b = volume.shape[0]
+    last = ((jnp.arange(n_b) == n_b - 1)[:, None, None]
+            & (jnp.arange(n_asc) == n_asc - 1)[None, :, None])
+    return jnp.where(last, volume, out)
 
 
 def get_background(volume: jnp.ndarray) -> jnp.ndarray:

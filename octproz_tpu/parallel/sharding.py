@@ -33,10 +33,13 @@ Cross-device communication (the part the reference has no equivalent of):
   minimum-variance selection then runs replicated.
 * **Geometric postprocessing** (B-scan flip, sinusoidal correction, post
   background) runs *outside* ``shard_map`` on the GSPMD-partitioned global
-  array: the static gathers / axis reversals along the sharded fast axis are
-  partitioned by XLA, which inserts the boundary A-scan exchanges
-  (collective-permute) on ICI automatically.  The sinusoidal curve is static
-  per configuration, so the exchange pattern is fixed at compile time.
+  array.  On the production B-scan-axis mesh the fast axis is unsharded and
+  both stages partition to pure local compute — zero collective bytes
+  (measured; tests/test_traffic.py pins it).  On AXIS_ASCAN-sharded meshes
+  they are genuinely non-local (the acos curve is a global fast-axis remap,
+  the flip reverses the sharded axis) and XLA inserts an all-gather /
+  mirror collective-permute — static per configuration, tallied per config
+  by ``parallel.traffic``.
 
 Steady-state hot path: when the config allows it (``fused_scale``, Pallas
 fold, FPN off/once) the shard body runs the SAME single-pass
