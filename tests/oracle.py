@@ -93,6 +93,49 @@ def resample(x: np.ndarray, curve: np.ndarray, mode: str) -> np.ndarray:
     return out.reshape(x.shape[:-1] + (curve.shape[0],))
 
 
+def resample_fast(x: np.ndarray, curve: np.ndarray, mode: str) -> np.ndarray:
+    """Vectorized float64 resampler, bit-equal in math to
+    :func:`resample_line` (test-pinned): the curve is shared by all lines,
+    so x0/t/tap indices are computed once and applied as fancy-indexed
+    gathers over the whole line matrix.  Needed for full-geometry
+    (1024x512x256) oracle runs where the scalar loop is hours-slow."""
+    flat = np.asarray(x, np.float64).reshape(-1, x.shape[-1])
+    n = flat.shape[-1]
+    curve = np.asarray(curve)
+    x0 = curve.astype(np.int64)
+    # t in the CURVE's dtype then promoted — resample_line computes
+    # `t = x - x0` on the (typically float32) curve scalar, and bit-equality
+    # with it is this function's contract
+    t = (curve - x0.astype(curve.dtype)).astype(np.float64)
+    if mode == "linear":
+        out = flat[:, x0] + (flat[:, x0 + 1] - flat[:, x0]) * t
+    elif mode == "quadratic":
+        f0, f1, f2 = flat[:, x0], flat[:, x0 + 1], flat[:, x0 + 2]
+        b1 = f1 - f0
+        b2 = ((f2 - f1) - b1) / 2.0
+        out = f0 + b1 * t + b2 * t * (t - 1.0)
+    elif mode == "cubic":
+        n0 = np.abs(x0 - 1)
+        y0, y1, y2, y3 = (flat[:, n0], flat[:, x0],
+                          flat[:, x0 + 1], flat[:, x0 + 2])
+        a = -y0 + 3.0 * (y1 - y2) + y3
+        b = 2.0 * y0 - 5.0 * y1 + 4.0 * y2 - y3
+        c = -y0 + y2
+        out = 0.5 * t * ((a * t + b) * t + c) + y1
+    elif mode == "lanczos":
+        out = np.zeros((flat.shape[0], curve.shape[0]))
+        for i in range(-7, 9):
+            tap = np.clip(x0 + i, 0, n - 1)
+            # offsets in the curve's dtype (python-int tap index), exactly
+            # like the scalar loop's `x - (n0 + i)`
+            w = np.array([float(_lanczos8(c - (int(c0) + i)))
+                          for c, c0 in zip(curve, x0)])
+            out += flat[:, tap] * w
+    else:
+        raise ValueError(mode)
+    return out.reshape(x.shape[:-1] + (curve.shape[0],))
+
+
 # -- windowing / dispersion (cuda_code.cu:328-339, 593-634) ------------------
 
 def prep(x: np.ndarray, window=None, phase=None):
@@ -201,13 +244,18 @@ def full_pipeline(
     flip=False,
     sinusoidal=False,
     post_bg=None, post_bg_weight=1.0, post_bg_offset=0.0,
+    fast=False,
 ):
-    """End-to-end oracle. Returns (processed volume, fpn mean line or None)."""
+    """End-to-end oracle. Returns (processed volume, fpn mean line or None).
+
+    ``fast=True`` uses the vectorized resampler (same math, test-pinned
+    equal) for full-geometry runs."""
     x = decode(raw, bit_depth, bitshift)
     if background_window:
         x = rolling_background(x, background_window)
     if resample_curve is not None:
-        x = resample(x, resample_curve, interpolation)
+        x = (resample_fast if fast else resample)(x, resample_curve,
+                                                  interpolation)
     spec = prep(x, window, phase)
     z = ifft_unnormalized(spec)
 

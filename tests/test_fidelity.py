@@ -171,3 +171,33 @@ def test_compare_cli_quantized_reference(tmp_path, capsys):
                "--ref-dtype", "uint8", "--clip01", "--min-psnr", "40"])
     out = json.loads(capsys.readouterr().out.strip())
     assert rc == 0 and out["psnr_db"] >= 40.0
+
+
+def test_snr_bound_anchor_small_geometry(tmp_path):
+    """CI-scale run of the full-geometry fidelity anchor
+    (scripts/fullgeom_fidelity.py; VERDICT r3 #4): derives the reference
+    SNR bound quantitatively (oracle on quantized codes vs on the analog
+    interferogram), measures each precision rung against the float64
+    oracle, and wires the `cli compare` gate on the saved pair.  The
+    full-geometry artifact FIDELITY_r04.json is the same code at
+    1024x512x256."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(DATA), "..", "scripts"))
+    import fullgeom_fidelity as fg
+
+    report = fg.run(samples=256, ascans=64, bscans=8,
+                    save_pair_dir=str(tmp_path),
+                    rungs=["bfloat16", "highest"])
+    bound = report["snr_bound_db"]
+    # the bound is a finite acquisition-noise number, not a degenerate pin
+    assert 30.0 < bound < 90.0
+    # the highest rung's numerics error is below the quantization noise of
+    # the acquisition itself: "within the reference SNR bound"
+    assert report["rungs"]["highest"]["within_reference_snr_bound"]
+    assert report["rungs"]["highest"]["psnr_db"] > bound + 10
+    # bf16 is the throughput rung; it must NOT falsely claim the bound
+    assert not report["rungs"]["bfloat16"]["within_reference_snr_bound"]
+    # the CLI gate ran against the saved pair and passed at the bound
+    assert report["cli_compare"]["passed"]
+    assert os.path.exists(report["pair"]["oracle"])

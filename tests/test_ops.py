@@ -263,3 +263,19 @@ class TestQuantize:
         assert got.dtype == dtype
         expected = (np.clip(np.asarray(x), 0, 1) * scale).astype(np.float32).astype(np.float64).astype(dtype)
         np.testing.assert_array_equal(got, expected)
+
+
+class TestOracleSelfConsistency:
+    def test_vectorized_oracle_resampler_matches_scalar(self, rng):
+        """oracle.resample_fast must be bit-equal in math to the scalar
+        reference transcription for every interpolation mode (it exists
+        only to make full-geometry oracle runs feasible)."""
+        import oracle
+
+        n = 96
+        curve = np.sort(rng.uniform(0.0, n - 3, n)).astype(np.float32)
+        x = rng.normal(size=(5, n))
+        for mode in ("linear", "quadratic", "cubic", "lanczos"):
+            a = oracle.resample(x, curve, mode)
+            b = oracle.resample_fast(x, curve, mode)
+            np.testing.assert_allclose(a, b, rtol=1e-13, atol=1e-13)
