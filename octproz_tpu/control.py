@@ -54,6 +54,8 @@ class ParamController(Plugin):
     COMMANDS = (
         "set_klin_coeffs", "set_dispersion_coeffs", "set_window",
         "set_custom_resample_curve", "set_grayscale", "set_post_background",
+        "set_interpolation", "set_fpn_mode", "set_streaming",
+        "start_recording", "recording_status",
         "redetermine_fpn", "record_post_background", "get_params", "stop",
         "list_extensions", "activate_extension", "deactivate_extension",
     )
@@ -94,6 +96,61 @@ class ParamController(Plugin):
             elif command == "set_post_background":
                 self.model.set_post_background(
                     np.asarray(params["values"], np.float32))
+            elif command == "set_interpolation":  # sidebar.cpp:323 (recompiles)
+                from .params import Interpolation
+
+                self.model.set_config(
+                    interpolation=Interpolation(params["type"]))
+                self.on_info(f"interpolation set to {params['type']}")
+            elif command == "set_fpn_mode":  # sidebar.cpp:328 (recompiles)
+                from .params import FpnMode
+
+                self.model.set_config(fpn_mode=FpnMode(params["mode"]))
+                self.on_info(f"fpn mode set to {params['mode']}")
+            elif command == "set_streaming":
+                # streaming toggle + skip-N decimation (sidebar.cpp:339-344,
+                # streamingBuffersToSkip octalgorithmparameters.h:189-192)
+                if self.engine is None:
+                    return {"error": "no engine attached"}
+                if "skip" in params:
+                    skip = int(params["skip"])
+                    if skip < 0:
+                        raise ValueError("skip must be >= 0")
+                    self.engine.streaming_skip = skip
+                if "enabled" in params:
+                    self.engine.stream_to_host = bool(params["enabled"])
+                self.on_info(
+                    f"streaming: enabled={self.engine.stream_to_host} "
+                    f"skip={self.engine.streaming_skip}")
+            elif command == "start_recording":
+                # remote record trigger (startRecordingRequest plugin.h:85;
+                # sidebar recording params sidebar.cpp:346-359)
+                if self.engine is None:
+                    return {"error": "no engine attached"}
+                if self.engine.recording:
+                    return {"error": "recording already in progress"}
+                from .io.recorder import RecordingParams
+
+                self.engine.start_recording(RecordingParams(
+                    save_dir=str(params.get("dir", ".")),
+                    name=str(params.get("name", "remote")),
+                    buffers_to_record=int(params.get("buffers", 1)),
+                    save_raw=bool(params.get("raw", False)),
+                    save_processed=bool(params.get("processed", True)),
+                    save_meta=bool(params.get("meta", True)),
+                    save_screenshots=bool(params.get("screenshots", False)),
+                    start_with_first_buffer_of_volume=bool(
+                        params.get("start_at_volume", False)),
+                    stop_after_record=bool(params.get("stop_after", False))))
+            elif command == "recording_status":
+                if self.engine is None:
+                    return {"error": "no engine attached"}
+                return {"reply": {
+                    "recording": self.engine.recording,
+                    "raw": self.engine.raw_recorder.recording,
+                    "processed": self.engine.processed_recorder.recording,
+                    "last_file": self.engine.processed_recorder.last_file
+                    or self.engine.raw_recorder.last_file}}
             elif command == "redetermine_fpn":  # cuda_code.cu:1521
                 self.model.redetermine_fpn()
             elif command == "record_post_background":
@@ -141,6 +198,12 @@ class ParamController(Plugin):
             "grayscale_min": self.model.cfg.grayscale_min,
             "grayscale_max": self.model.cfg.grayscale_max,
             "fpn_mode": self.model.cfg.fpn_mode.value,
+            "interpolation": self.model.cfg.interpolation.value,
+            "streaming_enabled": (self.engine.stream_to_host
+                                  if self.engine else None),
+            "streaming_skip": (self.engine.streaming_skip
+                               if self.engine else None),
+            "recording": (self.engine.recording if self.engine else None),
             "commands": list(self.COMMANDS),
         }
 

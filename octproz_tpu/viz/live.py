@@ -50,15 +50,26 @@ _PAGE = """<!doctype html>
  img{image-rendering:pixelated;border:1px solid #333;max-width:31vw}
  #stats{font-family:monospace;white-space:pre}
  canvas{border:1px solid #333;background:#000}
- #ctl input{width:4.5em;background:#222;color:#ddd;border:1px solid #444}
- #ctl button{background:#234;color:#ddd;border:1px solid #456;margin:2px}
+ .view{display:inline-block;vertical-align:top;margin-right:8px}
+ .view .bar{font-family:monospace;font-size:11px;color:#9ab}
+ input{width:4.5em;background:#222;color:#ddd;border:1px solid #444}
+ select{background:#222;color:#ddd;border:1px solid #444}
+ button{background:#234;color:#ddd;border:1px solid #456;margin:2px}
  #ctlmsg{font-family:monospace;color:#8c8}
+ #exts div{font-family:monospace}
 </style></head><body>
 <h2>octproz_tpu live view</h2>
 <div id="stats">waiting for data...</div>
-<div><img id="bscan" alt="B-scan"> <img id="enface" alt="en-face">
-     <img id="volume" alt="volume" style="display:none">
-     <img id="camera" alt="camera" style="display:none"></div>
+<div>
+ <div class="view"><canvas id="bscanC" width="420" height="420"></canvas>
+   <div class="bar" id="bscanBar">B-scan &#8212; wheel: zoom, drag: pan,
+    dblclick: marker, r: rotate</div></div>
+ <div class="view"><canvas id="enfaceC" width="420" height="420"></canvas>
+   <div class="bar" id="enfaceBar">en-face</div></div>
+ <img id="volume" alt="volume" style="display:none">
+ <img id="camera" alt="camera" style="display:none">
+ <img id="bscan" style="display:none"> <img id="enface" style="display:none">
+</div>
 <h3>centre A-scan</h3><canvas id="ascan" width="600" height="160"></canvas>
 <div id="ctl"><h3>live re-tuning</h3>
  <div>dispersion d0-d3:
@@ -67,13 +78,45 @@ _PAGE = """<!doctype html>
  <div>k-lin c0-c3:
   <input id="c0"><input id="c1"><input id="c2"><input id="c3">
   <button onclick="setCoeffs('set_klin_coeffs','c')">apply</button></div>
+ <div>window: <select id="wtype"><option>hanning</option><option>gauss</option>
+   <option>sine</option><option>lanczos</option><option>rectangular</option>
+   <option>flattop</option><option>taylor</option></select>
+  center <input id="wcenter"> fill <input id="wfill">
+  <button onclick="setWindow()">apply</button></div>
+ <div>interpolation: <select id="interp"><option>linear</option>
+   <option>quadratic</option><option>cubic</option><option>lanczos</option>
+  </select>
+  <button onclick="post({command:'set_interpolation',
+    type:val('interp')})">apply (recompiles)</button>
+  FPN: <select id="fpn"><option>off</option><option>once</option>
+   <option>continuous</option></select>
+  <button onclick="post({command:'set_fpn_mode',mode:val('fpn')})">
+   apply (recompiles)</button></div>
  <div>grayscale min/max:
   <input id="gmin"><input id="gmax">
   <button onclick="setGray()">apply (recompiles)</button>
   <button onclick="post({command:'redetermine_fpn'})">redetermine FPN</button>
   <button onclick="post({command:'record_post_background',n:1})">record background</button></div>
+ <div>streaming: skip <input id="skip">
+  <button onclick="post({command:'set_streaming',
+    skip:parseInt(val('skip'))||0, enabled:true})">apply</button>
+  recording: <input id="recname" value="live"> x<input id="recn" value="4">
+  <button onclick="post({command:'start_recording', name:val('recname'),
+    buffers:parseInt(val('recn'))||1, dir:'.'})">record</button>
+  <span id="recstate"></span></div>
+ <div>display: B-scan <input id="dbscan" value="0">
+  en-face depth <input id="ddepth" value="0">
+  frames <input id="dframes" value="1">
+  <select id="dmode"><option value="avg">average</option>
+   <option value="mip">MIP</option></select>
+  depth mm <input id="dmm"> width mm <input id="wmm">
+  <button onclick="setDisplay()">apply</button></div>
  <div id="ctlmsg"></div></div>
+<div id="exts"><h3>extensions</h3><div id="extlist"></div>
+ <canvas id="hist" width="420" height="120" style="display:none"></canvas>
+ <div id="peaks" style="font-family:monospace"></div></div>
 <script>
+function val(id){ return document.getElementById(id).value; }
 async function post(obj){
   try {
     const r = await (await fetch('/control', {method:'POST',
@@ -88,10 +131,118 @@ function setCoeffs(cmd, p){
   post(o);
 }
 function setGray(){
-  post({command:'set_grayscale',
-        min: parseFloat(document.getElementById('gmin').value) || 0,
-        max: parseFloat(document.getElementById('gmax').value) || 1});
+  post({command:'set_grayscale', min: parseFloat(val('gmin')) || 0,
+        max: parseFloat(val('gmax')) || 1});
 }
+function setWindow(){
+  post({command:'set_window', type: val('wtype'),
+        center: parseFloat(val('wcenter')) || 0.5,
+        fill_factor: parseFloat(val('wfill')) || 1});
+}
+async function setDisplay(){
+  const o = {bscan_nr: parseInt(val('dbscan'))||0,
+             enface_depth: parseInt(val('ddepth'))||0,
+             frames: parseInt(val('dframes'))||1,
+             mip: val('dmode')=='mip'};
+  const dmm = parseFloat(val('dmm')); if (dmm) o.depth_mm = dmm;
+  const wmm = parseFloat(val('wmm')); if (wmm) o.width_mm = wmm;
+  const r = await (await fetch('/display', {method:'POST',
+    body: JSON.stringify(o)})).json();
+  document.getElementById('ctlmsg').textContent = JSON.stringify(r);
+}
+// ---- interactive 2-D views (GLWindow2D analog: zoom/pan/rotate/stretch,
+//      scale bar, marker lines, data cursor, FPS counter) ----
+function makeView(cname, iname){
+  const c = document.getElementById(cname), g = c.getContext('2d');
+  const img = document.getElementById(iname);
+  const v = {zoom: 1, ox: 0, oy: 0, rot: 0, marker: null, cursor: null,
+             frames: 0, fps: 0, lastT: Date.now(), mmDepth: 0, mmWidth: 0};
+  function draw(){
+    g.setTransform(1,0,0,1,0,0);
+    g.clearRect(0,0,c.width,c.height);
+    if (!img.naturalWidth) return;
+    g.save();
+    g.translate(c.width/2 + v.ox, c.height/2 + v.oy);
+    g.rotate(v.rot * Math.PI/180);
+    const s = v.zoom * Math.min(c.width/img.naturalWidth,
+                                c.height/img.naturalHeight);
+    g.scale(s, s);
+    g.imageSmoothingEnabled = false;
+    g.drawImage(img, -img.naturalWidth/2, -img.naturalHeight/2);
+    if (v.marker){  // marker overlay lines through the marked pixel
+      g.strokeStyle = 'rgba(255,220,0,0.8)'; g.lineWidth = 1/s;
+      g.beginPath();
+      g.moveTo(-img.naturalWidth/2, v.marker.y - img.naturalHeight/2);
+      g.lineTo(img.naturalWidth/2, v.marker.y - img.naturalHeight/2);
+      g.moveTo(v.marker.x - img.naturalWidth/2, -img.naturalHeight/2);
+      g.lineTo(v.marker.x - img.naturalWidth/2, img.naturalHeight/2);
+      g.stroke();
+    }
+    g.restore();
+    if (v.mmDepth && img.naturalHeight){  // scale bar (1/4 of the view)
+      const mmPerPx = v.mmDepth / img.naturalHeight;
+      const px = c.height/4, mm = mmPerPx * px / (v.zoom *
+        Math.min(c.width/img.naturalWidth, c.height/img.naturalHeight));
+      g.strokeStyle = '#fff'; g.fillStyle = '#fff'; g.lineWidth = 2;
+      g.beginPath(); g.moveTo(12, c.height-14);
+      g.lineTo(12, c.height-14-px); g.stroke();
+      g.font = '11px monospace';
+      g.fillText(mm.toFixed(2)+' mm', 16, c.height-14-px/2);
+    }
+    g.fillStyle = '#8f8'; g.font = '11px monospace';
+    g.fillText(v.fps.toFixed(1)+' fps', c.width-58, 14);
+  }
+  function toImage(e){
+    const r = c.getBoundingClientRect();
+    const cx = e.clientX - r.left - c.width/2 - v.ox;
+    const cy = e.clientY - r.top - c.height/2 - v.oy;
+    const a = -v.rot * Math.PI/180;
+    const rx = cx*Math.cos(a) - cy*Math.sin(a);
+    const ry = cx*Math.sin(a) + cy*Math.cos(a);
+    const s = v.zoom * Math.min(c.width/img.naturalWidth,
+                                c.height/img.naturalHeight);
+    return {x: Math.round(rx/s + img.naturalWidth/2),
+            y: Math.round(ry/s + img.naturalHeight/2)};
+  }
+  c.addEventListener('wheel', e => { e.preventDefault();
+    v.zoom *= e.deltaY < 0 ? 1.15 : 1/1.15; draw(); });
+  let drag = null;
+  c.addEventListener('mousedown', e => drag = {x: e.clientX, y: e.clientY});
+  window.addEventListener('mouseup', () => drag = null);
+  c.addEventListener('mousemove', async e => {
+    if (drag){ v.ox += e.clientX - drag.x; v.oy += e.clientY - drag.y;
+               drag = {x: e.clientX, y: e.clientY}; draw(); return; }
+    const p = toImage(e);
+    if (p.x >= 0 && p.y >= 0 && p.x < img.naturalWidth &&
+        p.y < img.naturalHeight && !v.fetching){
+      v.fetching = true;  // data cursor: value readout from the server
+      try {
+        const r = await (await fetch('/pixel?img=' +
+          (cname=='bscanC'?'bscan':'enface') + '&x='+p.x+'&y='+p.y)).json();
+        document.getElementById(cname=='bscanC'?'bscanBar':'enfaceBar')
+          .textContent = '('+p.x+', '+p.y+') = ' +
+            (r.value==null?'-':r.value.toFixed(4));
+      } catch(err){}
+      v.fetching = false;
+    }
+  });
+  c.addEventListener('dblclick', e => {
+    const p = toImage(e);
+    v.marker = (v.marker && v.marker.x==p.x && v.marker.y==p.y) ? null : p;
+    draw();
+  });
+  window.addEventListener('keydown', e => {
+    if (e.key=='r'){ v.rot = (v.rot + 90) % 360; draw(); }
+    if (e.key=='0'){ v.zoom = 1; v.ox = v.oy = 0; v.rot = 0; draw(); }
+  });
+  img.addEventListener('load', () => {
+    const now = Date.now();
+    v.frames++; v.fps = 0.8*v.fps + 0.2*(1000/Math.max(1, now-v.lastT));
+    v.lastT = now; draw();
+  });
+  return v;
+}
+const bview = makeView('bscanC','bscan'), eview = makeView('enfaceC','enface');
 let seeded = false;
 async function seed(){
   try {
@@ -103,7 +254,58 @@ async function seed(){
     }
     document.getElementById('gmin').value = p.grayscale_min;
     document.getElementById('gmax').value = p.grayscale_max;
+    document.getElementById('wtype').value = p.window_type;
+    document.getElementById('wcenter').value = p.window_center;
+    document.getElementById('wfill').value = p.window_fill_factor;
+    document.getElementById('interp').value = p.interpolation;
+    document.getElementById('fpn').value = p.fpn_mode;
+    if (p.streaming_skip != null)
+      document.getElementById('skip').value = p.streaming_skip;
+    const d = await (await fetch('/display.json')).json();
+    bview.mmDepth = d.depth_mm || 0; eview.mmWidth = d.width_mm || 0;
     seeded = true;
+  } catch(e){}
+}
+async function refreshExtensions(){
+  try {
+    const r = await (await fetch('/control', {method:'POST',
+      body: JSON.stringify({command:'list_extensions'})})).json();
+    if (!r.reply) return;
+    const el = document.getElementById('extlist');
+    el.innerHTML = '';
+    for (const [name, active] of Object.entries(r.reply)){
+      const d = document.createElement('div');
+      d.innerHTML = (active?'[on] ':'[off] ') + name + ' ';
+      const b = document.createElement('button');
+      b.textContent = active ? 'deactivate' : 'activate';
+      b.onclick = async () => { await post({command:
+        (active?'deactivate':'activate')+'_extension', name: name});
+        refreshExtensions(); };
+      d.appendChild(b); el.appendChild(d);
+      if (active) showExtensionOutput(name);
+    }
+  } catch(e){}
+}
+async function showExtensionOutput(name){
+  try {
+    const r = await (await fetch('/extension.json?name=' + name)).json();
+    if (r.histogram){  // image-statistics pane
+      const c = document.getElementById('hist');
+      c.style.display = ''; const g = c.getContext('2d');
+      g.clearRect(0,0,c.width,c.height);
+      const m = Math.max(...r.histogram, 1);
+      g.fillStyle = '#4a8';
+      r.histogram.forEach((h,i) => {
+        const w = c.width / r.histogram.length;
+        g.fillRect(i*w, c.height*(1-h/m), w-1, c.height*h/m);
+      });
+      g.fillStyle = '#ddd'; g.font = '11px monospace';
+      g.fillText('mean '+r.mean.toFixed(4)+'  sigma '+r.std.toFixed(4)
+        +'  ['+r.minimum.toFixed(3)+', '+r.maximum.toFixed(3)+']', 6, 12);
+    }
+    if (r.peaks) document.getElementById('peaks').textContent =
+      'peaks: ' + r.peaks.map(p => p.index + '@' +
+        p.value.toFixed(3)).join('  ');
   } catch(e){}
 }
 async function tick(){
@@ -111,6 +313,7 @@ async function tick(){
   document.getElementById('bscan').src = '/bscan.png?' + t;
   document.getElementById('enface').src = '/enface.png?' + t;
   if (!seeded) seed();
+  if (t % 2000 < 300) refreshExtensions();
   try {
     const s = await (await fetch('/stats.json')).json();
     document.getElementById('stats').textContent = s.info || JSON.stringify(s);
@@ -122,6 +325,8 @@ async function tick(){
       const c = document.getElementById('camera');
       c.style.display = ''; c.src = '/camera.png?' + t;
     }
+    if (s.recording != null) document.getElementById('recstate').textContent =
+      s.recording ? 'REC' : '';
     const a = await (await fetch('/ascan.json')).json();
     const c = document.getElementById('ascan'), g = c.getContext('2d');
     g.clearRect(0,0,c.width,c.height); g.strokeStyle='#6cf'; g.beginPath();
@@ -136,6 +341,21 @@ async function tick(){
 }
 setInterval(tick, 250); tick();
 </script></body></html>"""
+
+
+def _jsonable(obj):
+    """Dataclass / numpy / scalar -> JSON-serializable structure."""
+    import dataclasses as _dc
+
+    if _dc.is_dataclass(obj) and not isinstance(obj, type):
+        return {k: _jsonable(v) for k, v in _dc.asdict(obj).items()}
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, (np.integer, np.floating)):
+        return obj.item()
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    return obj
 
 
 def _encode_png(img_u8: np.ndarray) -> bytes:
@@ -179,6 +399,14 @@ class LiveView:
         self._volume_png: Optional[bytes] = None
         self._ascan: list = []
         self._stats: dict = {}
+        # displayed-orientation grayscale frames for the data cursor
+        # (/pixel) — the GLWindow2D cursor readout analog
+        self._frames: dict = {}
+        # physical scale for the client-side scale bars (ScaleBar analog,
+        # glwindow2d.cpp:520-1037); 0 = unset
+        self.depth_mm = 0.0
+        self.width_mm = 0.0
+        self._engine = None
         self.frames_rendered = 0
         # live re-tuning (ParamController; POST /control)
         self._controller = controller
@@ -226,12 +454,27 @@ class LiveView:
                     with view._lock:
                         body = json.dumps(dict(
                             view._stats,
-                            camera=view._camera is not None)).encode()
+                            camera=view._camera is not None,
+                            recording=getattr(view._engine, "recording",
+                                              None))).encode()
                     ctype = "application/json"
                 elif path == "/params.json":
                     c = view._controller
                     body = json.dumps(c.describe() if c else {}).encode()
                     ctype = "application/json"
+                elif path == "/display.json":
+                    body = json.dumps(view.display_state()).encode()
+                    ctype = "application/json"
+                elif path == "/pixel":
+                    # data-cursor readout: value of a displayed pixel
+                    body = json.dumps(view.pixel_value(self.path)).encode()
+                    ctype = "application/json"
+                elif path == "/extension.json":
+                    out = view.extension_output(self.path)
+                    if out is None:
+                        self.send_error(404)
+                        return
+                    body, ctype = json.dumps(out).encode(), "application/json"
                 else:
                     self.send_error(404)
                     return
@@ -243,10 +486,11 @@ class LiveView:
                 self.wfile.write(body)
 
             def do_POST(self):
-                if self.path.split("?")[0] != "/control":
+                path = self.path.split("?")[0]
+                if path not in ("/control", "/display"):
                     self.send_error(404)
                     return
-                if view._controller is None:
+                if path == "/control" and view._controller is None:
                     self.send_error(403, "no controller attached")
                     return
                 try:
@@ -254,8 +498,11 @@ class LiveView:
                     msg = json.loads(self.rfile.read(n).decode())
                     if not isinstance(msg, dict):
                         raise ValueError("body must be a json object")
-                    cmd = msg.pop("command", None)
-                    reply = view._controller.handle(cmd, msg)
+                    if path == "/display":
+                        reply = view.set_display(msg)
+                    else:
+                        cmd = msg.pop("command", None)
+                        reply = view._controller.handle(cmd, msg)
                 except (KeyError, TypeError, ValueError,
                         UnicodeDecodeError) as e:
                     reply = {"error": f"bad request: {e}"}
@@ -299,6 +546,7 @@ class LiveView:
 
                 engine.assembler = VolumeAssembler(engine.model.acq)
             self._assembler = engine.assembler
+        self._engine = engine
         self._bit_depth = getattr(engine, "streaming_bit_depth", None)
         prev_p, prev_m = engine.on_processed, engine.on_metrics
 
@@ -351,13 +599,14 @@ class LiveView:
         def paint(img, vertical):
             if vertical:  # depth axis vertical, reference B-scan orientation
                 img = img.T[::-1]
-            img = np.clip(img, 0.0, 1.0)
+            gray = np.clip(img, 0.0, 1.0)
+            img = gray
             if self._lut is not None:
                 img = apply_lut(img, self._lut)
-            return _encode_png(to_uint8(img))
+            return gray, _encode_png(to_uint8(img))
 
-        bscan_png = paint(bscan, True)
-        enface_png = paint(enface, False)
+        bscan_gray, bscan_png = paint(bscan, True)
+        enface_gray, enface_png = paint(enface, False)
         ascan = [float(x) for x in bscan[bscan.shape[0] // 2]]
 
         volume_png = None
@@ -368,6 +617,7 @@ class LiveView:
 
         with self._lock:
             self._bscan_png, self._enface_png = bscan_png, enface_png
+            self._frames = {"bscan": bscan_gray, "enface": enface_gray}
             self._ascan = ascan
             self.frames_rendered += 1
             self._stats["buffers"] = self._stats.get("buffers", 0) + 1
@@ -406,6 +656,81 @@ class LiveView:
             return _encode_png(to_uint8(np.clip(img, 0.0, 1.0)))
         except Exception:  # rendering must never kill the stream
             return None
+
+    # -- display manipulation + data-cursor surface (GLWindow2D analog:
+    #    frame selection ControlPanel2D, cursor readout, scale-bar physical
+    #    scale; glwindow2d.cpp:520-1037, glwindow2d.h:186-200) -------------
+    def display_state(self) -> dict:
+        return {"bscan_nr": self.bscan_nr,
+                "enface_depth": self.enface_depth,
+                "frames": self.display_frames,
+                "mip": self.mip,
+                "depth_mm": self.depth_mm,
+                "width_mm": self.width_mm}
+
+    def set_display(self, msg: dict) -> dict:
+        """POST /display: displayFrameSettingsChanged analog
+        (glwindow2d.h:361) plus physical-scale settings for the scale bar."""
+        if "bscan_nr" in msg:
+            self.bscan_nr = int(msg["bscan_nr"])
+        if "enface_depth" in msg:
+            self.enface_depth = int(msg["enface_depth"])
+        if "frames" in msg:
+            self.display_frames = max(1, int(msg["frames"]))
+        if "mip" in msg:
+            self.mip = bool(msg["mip"])
+        if "depth_mm" in msg:
+            self.depth_mm = float(msg["depth_mm"])
+        if "width_mm" in msg:
+            self.width_mm = float(msg["width_mm"])
+        return {"reply": self.display_state()}
+
+    def pixel_value(self, path: str) -> dict:
+        """GET /pixel?img=bscan|enface&x=..&y=.. — the data-cursor value of
+        a displayed pixel (displayed orientation, pre-LUT grayscale)."""
+        from urllib.parse import parse_qs, urlparse
+
+        q = parse_qs(urlparse(path).query)
+        img = q.get("img", ["bscan"])[0]
+        with self._lock:
+            frame = self._frames.get(img)
+        try:
+            x = int(q.get("x", ["0"])[0])
+            y = int(q.get("y", ["0"])[0])
+        except ValueError:
+            return {"value": None}
+        if frame is None or not (0 <= y < frame.shape[0]
+                                 and 0 <= x < frame.shape[1]):
+            return {"value": None}
+        return {"value": float(frame[y, x]), "img": img, "x": x, "y": y}
+
+    def extension_output(self, path: str):
+        """GET /extension.json?name=... — the latest result of an active
+        extension, JSON-serialized (the headless stand-in for the
+        reference's per-extension GUI surface, extensionuimanager.cpp)."""
+        from urllib.parse import parse_qs, urlparse
+
+        if self._engine is None:
+            return None
+        q = parse_qs(urlparse(path).query)
+        name = q.get("name", [""])[0]
+        ext = self._engine.extensions.extensions.get(name)
+        if ext is None:
+            return None
+        out = {"name": name, "active": ext.active}
+        for attr in ("last", "last_peaks", "last_fit"):
+            val = getattr(ext, attr, None)
+            if val is None:
+                continue
+            if isinstance(val, list):  # peak list
+                out["peaks"] = [_jsonable(p) for p in val]
+            else:
+                d = _jsonable(val)
+                if isinstance(d, dict):
+                    out.update(d)
+                else:
+                    out[attr] = d
+        return out
 
     def update_stats(self, stats) -> None:
         with self._lock:

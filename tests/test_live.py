@@ -1,6 +1,7 @@
 """Tests: HTTP live viewer (GLWindow2D / info-box analog)."""
 
 import json
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -121,5 +122,154 @@ def test_volume_raycast_pinned_to_cpu_device(monkeypatch):
         assert seen["device"] is not None
         assert seen["device"].platform == "cpu"
         assert seen["device"] in jax.local_devices(backend="cpu")
+    finally:
+        live.close()
+
+
+def _post(url, obj):
+    req = urllib.request.Request(url, data=json.dumps(obj).encode(),
+                                 method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=5) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _engine_with_live(tmp_path, **live_kw):
+    """Real StreamingEngine + attached LiveView (not run; the controller
+    mutates it directly like a live session would)."""
+    from octproz_tpu.extensions.peaks import PeakDetectorExtension
+    from octproz_tpu.extensions.statistics import ImageStatisticsExtension
+    from octproz_tpu.io.source import SyntheticSource
+    from octproz_tpu.models.fdoct import FdOctModel
+    from octproz_tpu.params import (AcqParams, FpnMode, Interpolation,
+                                    ProcConfig)
+    from octproz_tpu.plugins import ExtensionManager
+    from octproz_tpu.runtime import StreamingEngine
+
+    acq = AcqParams(samples_per_line=64, ascans_per_bscan=8,
+                    bscans_per_buffer=2, buffers_per_volume=1, bit_depth=12)
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.LINEAR,
+                     windowing=True, fpn_mode=FpnMode.OFF, log_scaling=True)
+    model = FdOctModel(acq, cfg, resample_coeffs=(0.0, 63.0, 0.0, 0.0))
+    exts = ExtensionManager()
+    exts.add(ImageStatisticsExtension())
+    exts.add(PeakDetectorExtension())
+    eng = StreamingEngine(model, SyntheticSource(acq, n_buffers=2),
+                          extensions=exts, stream_to_host=True)
+    live = LiveView(port=0, throttle_s=0.0, **live_kw)
+    live.attach(eng)
+    return eng, live
+
+
+def test_control_panel_sidebar_parity_round_trips(tmp_path):
+    """Every sidebar-parity control reachable from the web UI round-trips
+    through POST /control (VERDICT r3 #8): window type/center/fill,
+    interpolation, FPN mode, streaming skip, recording start/stop,
+    extension toggles."""
+    eng, live = _engine_with_live(tmp_path)
+    try:
+        url = live.url + "control"
+        # window geometry (sidebar window settings)
+        st, r = _post(url, {"command": "set_window", "type": "gauss",
+                            "center": 0.4, "fill_factor": 0.8})
+        assert st == 200 and r["reply"] == "ok"
+        # interpolation (recompiles)
+        st, r = _post(url, {"command": "set_interpolation", "type": "cubic"})
+        assert st == 200 and eng.model.cfg.interpolation.value == "cubic"
+        # FPN mode (recompiles)
+        st, r = _post(url, {"command": "set_fpn_mode", "mode": "continuous"})
+        assert st == 200 and eng.model.cfg.fpn_mode.value == "continuous"
+        # streaming skip
+        st, r = _post(url, {"command": "set_streaming", "skip": 3,
+                            "enabled": True})
+        assert st == 200 and eng.streaming_skip == 3 and eng.stream_to_host
+        # params.json reflects the new state (panel seeding)
+        _, _, body = _get(live.url + "params.json")
+        p = json.loads(body)
+        assert p["window_type"] == "gauss"
+        assert p["interpolation"] == "cubic"
+        assert p["streaming_skip"] == 3
+        # recording start + status
+        st, r = _post(url, {"command": "start_recording", "name": "t",
+                            "dir": str(tmp_path), "buffers": 1,
+                            "processed": True, "meta": False})
+        assert st == 200 and eng.recording
+        st, r = _post(url, {"command": "recording_status"})
+        assert r["reply"]["recording"] and r["reply"]["processed"]
+        st, r = _post(url, {"command": "start_recording"})
+        assert st == 400 and "in progress" in r["error"]
+        # extension toggles
+        st, r = _post(url, {"command": "activate_extension",
+                            "name": "image-statistics"})
+        assert st == 200
+        st, r = _post(url, {"command": "list_extensions"})
+        assert r["reply"]["image-statistics"] is True
+        # stats.json surfaces the recording flag for the REC indicator
+        _, _, body = _get(live.url + "stats.json")
+        assert json.loads(body)["recording"] is True
+    finally:
+        live.close()
+        eng.source.close() if hasattr(eng.source, "close") else None
+
+
+def test_extension_output_pane(tmp_path):
+    """Active extensions' latest results are served at /extension.json:
+    the statistics histogram and the detected peaks (VERDICT r3 #3/#8 —
+    computed results must be SHOWN, not just computed)."""
+    eng, live = _engine_with_live(tmp_path)
+    try:
+        for name in ("image-statistics", "peak-detector"):
+            eng.extensions.extensions[name].activate()
+        eng.run()  # feeds processed data through the extensions
+        _, _, body = _get(live.url + "extension.json?name=image-statistics")
+        out = json.loads(body)
+        assert out["active"] and len(out["histogram"]) == 64
+        assert out["maximum"] >= out["minimum"]
+        _, _, body = _get(live.url + "extension.json?name=peak-detector")
+        out = json.loads(body)
+        assert "peaks" in out and isinstance(out["peaks"], list)
+        # unknown extension -> 404
+        try:
+            _get(live.url + "extension.json?name=nope")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        live.close()
+
+
+def test_display_manipulation_and_data_cursor():
+    """POST /display (frame selection, avg/MIP, physical scale) and the
+    /pixel data-cursor endpoint (VERDICT r3 #9: GLWindow2D interactivity
+    analog; zoom/pan/rotate/markers are client-side canvas transforms over
+    these server surfaces)."""
+    live = LiveView(port=0, throttle_s=0.0)
+    try:
+        st, r = _post(live.url + "display",
+                      {"bscan_nr": 1, "frames": 2, "mip": True,
+                       "depth_mm": 2.5, "width_mm": 10.0})
+        assert st == 200
+        assert r["reply"] == {"bscan_nr": 1, "enface_depth": 0, "frames": 2,
+                              "mip": True, "depth_mm": 2.5, "width_mm": 10.0}
+        _, _, body = _get(live.url + "display.json")
+        assert json.loads(body)["mip"] is True
+
+        vol = np.zeros((4, 8, 16), np.float32)
+        vol[1, 3, 5] = 0.75    # lone bright voxel in B-scan 1
+        vol[2, :, :] = 0.5     # MIP over frames 1..2 sees this everywhere
+        live.update(vol, 0)
+        # B-scan displayed orientation: depth vertical (row 0 = deepest),
+        # A-scan horizontal -> pixel (x=ascan 3, y=depth 15-5)
+        st, r = _post(live.url + "display", {"mip": True})  # keep mip
+        _, _, body = _get(live.url + "pixel?img=bscan&x=3&y=10")
+        v = json.loads(body)["value"]
+        assert v == 0.75
+        _, _, body = _get(live.url + "pixel?img=bscan&x=0&y=0")
+        assert json.loads(body)["value"] == 0.5  # the MIP floor frame
+        # out of range -> null value
+        _, _, body = _get(live.url + "pixel?img=bscan&x=999&y=0")
+        assert json.loads(body)["value"] is None
     finally:
         live.close()
