@@ -291,7 +291,7 @@ def _run(cfg, n_iters: int = 40, chunk: int = 1,
 
 
 def _run_e2e(cfg, time_budget_s: float = 60.0, max_iters: int = 512,
-             chunk: int = 8, acq=None) -> dict:
+             chunk: int = 8, acq=None, wire: str = "uint16") -> dict:
     """END-TO-END throughput, measured BY THE STREAMING ENGINE ITSELF:
     every raw buffer crosses host->device inside the timed region, matching
     what the reference's live counter measures (a cudaMemcpyAsync of every
@@ -328,16 +328,35 @@ def _run_e2e(cfg, time_budget_s: float = 60.0, max_iters: int = 512,
     rng = np.random.default_rng(0)
     ring = [rng.integers(0, 4096, size=acq.buffer_shape).astype(np.uint16)
             for _ in range(3)]
+    if wire == "packed12":
+        # packed-12 wire format: 1.5 bytes/sample crosses the link, the
+        # unpack runs on device (model.put_packed_buffer) — 25 % fewer
+        # wire bytes = 33 % higher link-bound ceiling
+        from octproz_tpu import native
 
-    # sustained-H2D bandwidth probe: 6 uploads, first discarded (warm-up
-    # lane setup); this is the ceiling the engine is judged against
+        ring = [native.pack_uint12(b.reshape(-1)) for b in ring]
+    wire_bytes = ring[0].nbytes
+
+    # H2D bandwidth probe.  H2D_DIAG.json finding: the tunnel absorbs the
+    # first ~2 GB at 1-1.4 GB/s (a BURST window — the round-3 3-upload
+    # probe measured only this, hence its 40x contradiction with the e2e
+    # loop), then collapses to the sustained link rate (~0.07-0.17 GB/s
+    # measured).  The ceiling the engine is judged against must be the
+    # SUSTAINED rate: keep uploading until the probe has spent >= 12 s or
+    # 12 uploads, and take the median of the last 4.
     times = []
-    for i in range(6):
+    t_probe = time.perf_counter()
+    for i in range(12):
         t0 = time.perf_counter()
         jax.block_until_ready(jax.device_put(ring[i % len(ring)]))
         times.append(time.perf_counter() - t0)
-    h2d_gbps = acq.bytes_per_buffer * (len(times) - 1) / sum(times[1:]) / 1e9
-    ceiling_mhz = (h2d_gbps * 1e9 / acq.bytes_per_buffer
+        if time.perf_counter() - t_probe > 12.0 and len(times) >= 6:
+            break
+    tail = sorted(times[-4:])
+    sustained_s = tail[len(tail) // 2]
+    h2d_burst_gbps = wire_bytes * 3 / sum(times[1:4]) / 1e9
+    h2d_gbps = wire_bytes / sustained_s / 1e9
+    ceiling_mhz = (h2d_gbps * 1e9 / wire_bytes
                    * acq.ascans_per_buffer / 1e6)
 
     class _HostRing:
@@ -349,14 +368,20 @@ def _run_e2e(cfg, time_budget_s: float = 60.0, max_iters: int = 512,
 
     # warmup compiles OUTSIDE the timed region: per-buffer step (FPN
     # determination) and, for chunked dispatch, the chunk executable
-    model.process_buffer(ring[0])
+    dev0 = (model.put_packed_buffer(ring[0]) if wire == "packed12"
+            else ring[0])
+    model.process_buffer(dev0)
     if chunk > 1:
-        jax.block_until_ready(
-            model.process_chunk(np.stack([ring[0]] * chunk)))
+        import jax.numpy as jnp
+
+        stack0 = (jnp.stack([model.put_packed_buffer(ring[0])] * chunk)
+                  if wire == "packed12" else np.stack([ring[0]] * chunk))
+        jax.block_until_ready(model.process_chunk(stack0))
 
     eng = StreamingEngine(model, _HostRing(), upload_prefetch=True,
                           prefetch_depth=2, dispatch_chunk=chunk,
-                          chunk_strategy="auto", metrics_window_s=5.0)
+                          chunk_strategy="auto", metrics_window_s=5.0,
+                          wire_format=wire)
 
     def stop_when_over_budget(stats):
         if time.perf_counter() - t0 > time_budget_s:
@@ -376,10 +401,13 @@ def _run_e2e(cfg, time_budget_s: float = 60.0, max_iters: int = 512,
         "engine_window_mhz": (round(window.ascans_per_s / 1e6, 3)
                               if window else None),
         "h2d_gbps": round(h2d_gbps, 3),
+        "h2d_burst_gbps": round(h2d_burst_gbps, 3),
         "h2d_ceiling_mhz": round(ceiling_mhz, 3),
         "ceiling_fraction": round(e2e_mhz / ceiling_mhz, 3) if ceiling_mhz
         else None,
         "buffer_mb": round(acq.bytes_per_buffer / 1e6, 1),
+        "wire": wire,
+        "wire_mb": round(wire_bytes / 1e6, 1),
         "buffers": done,
         "chunk": chunk,
         "measured_by": "StreamingEngine + ThroughputMeter",
@@ -482,8 +510,12 @@ def _attempt(spec: str) -> None:
         cfg = dataclasses.replace(cfg, **json.loads(knobs))
 
     if os.environ.get("OCTPROZ_BENCH_MODE") == "e2e":
-        # annex measurement: H2D-inclusive end-to-end rate for this config
-        print(json.dumps(_run_e2e(cfg)))
+        # annex measurement: H2D-inclusive end-to-end rate for this config,
+        # engine-measured; wire/chunk via env for the annex sweep
+        print(json.dumps(_run_e2e(
+            cfg,
+            chunk=int(os.environ.get("OCTPROZ_BENCH_E2E_CHUNK", "8")),
+            wire=os.environ.get("OCTPROZ_BENCH_WIRE", "uint16"))))
         return
 
     # Every attempt must PASS its rung's fidelity gate before it may be the
@@ -662,10 +694,16 @@ def main() -> None:
         # `e2e` records what a host-fed stream achieves through the
         # host->device link of THIS environment (a tunnel here).
         # annexes are optional: don't hold the round hostage to a second
-        # long revival wait once the headline is in hand
+        # long revival wait once the headline is in hand.  e2e runs twice:
+        # the uint16 container wire (apples-to-apples with the reference's
+        # 12-in-16 DMA) and the packed-12 wire (25 % fewer link bytes).
         record["e2e"] = (run_attempt(dict(headline_env,
                                           OCTPROZ_BENCH_MODE="e2e"))
                          if wait_tunnel(600.0) else None)
+        record["e2e_packed12"] = (
+            run_attempt(dict(headline_env, OCTPROZ_BENCH_MODE="e2e",
+                             OCTPROZ_BENCH_WIRE="packed12"))
+            if wait_tunnel(600.0) else None)
         # Annex 2: the fidelity ladder, timed on hardware — MHz + oracle
         # PSNR per rung (VERDICT r2: the high/highest throughput rows were
         # never recorded).  Same chunked dispatch as the headline.

@@ -351,6 +351,8 @@ def _source_kwargs(args, bundle) -> dict:
         kw["big_endian"] = a["big_endian"]
     if "stream_from_disk" in a:
         kw["copy_to_ram"] = not a["stream_from_disk"]
+    if a.get("keep_packed"):
+        kw["keep_packed"] = True
     return kw
 
 
@@ -444,6 +446,11 @@ def cmd_replay(args) -> int:
     system = _maybe_system_source(args, bundle)
     acq, cfg, model_kw = _build_config(args, bundle, system=system)
     model = FdOctModel(acq, cfg, **model_kw)
+    if args.wire_format == "packed12" and not (system is None
+                                               and args.keep_packed):
+        raise SystemExit("--wire-format packed12 needs a file source with "
+                         "--packed-12bit --keep-packed (the engine expects "
+                         "packed wire bytes)")
     src = system or VirtualOctSource(
         args.input, acq, wait_time_us=args.wait_us,
         total_buffers_to_acquire=args.max_buffers,
@@ -458,13 +465,34 @@ def cmd_replay(args) -> int:
         bundle.streaming.get("streaming_skip", 0)
     stream = (args.stream or stream_file
               or (args.record and args.record_processed) or args.live)
+    windows = []
+    metrics_fh = open(args.metrics_json, "w") if args.metrics_json else None
+
+    def on_metrics(stats):
+        # the engine's own 5 s info-box instrument, streamed as JSONL —
+        # the reference's published MHz comes from exactly this counter
+        # (processing.cpp:193-207)
+        rec = {"t": round(time.perf_counter(), 3),
+               "ascans_per_s": round(stats.ascans_per_s, 1),
+               "buffers_per_s": round(stats.buffers_per_s, 3),
+               "bscans_per_s": round(stats.bscans_per_s, 1),
+               "volumes_per_s": round(stats.volumes_per_s, 4),
+               "mb_per_s": round(stats.mb_per_s, 1),
+               "buffers_processed": stats.buffers_processed}
+        windows.append(rec)
+        if metrics_fh:
+            metrics_fh.write(json.dumps(rec) + "\n")
+            metrics_fh.flush()
+
     eng = StreamingEngine(model, src, stream_to_host=stream,
                           streaming_skip=skip, on_info=console.info,
                           metrics_window_s=args.metrics_window,
                           dispatch_chunk=args.chunk,
                           chunk_strategy=args.chunk_strategy,
                           upload_prefetch=not args.no_upload_prefetch,
-                          prefetch_depth=args.prefetch_depth)
+                          prefetch_depth=args.prefetch_depth,
+                          wire_format=args.wire_format,
+                          on_metrics=on_metrics)
     live = None
     if args.live:
         from .viz.live import LiveView
@@ -520,11 +548,19 @@ def cmd_replay(args) -> int:
         system.close()  # join the device producer thread
     if live is not None:
         live.close()
-    print(json.dumps({
+    if metrics_fh:
+        metrics_fh.close()
+    report = {
         "buffers_processed": n,
         "ascans_per_s": round(n * acq.ascans_per_buffer / dt, 1),
         "mb_per_s": round(n * acq.bytes_per_buffer / 1e6 / dt, 1),
-    }))
+    }
+    if windows:
+        report["windows"] = len(windows)
+        report["last_window"] = windows[-1]
+        report["best_window_ascans_per_s"] = max(
+            w["ascans_per_s"] for w in windows)
+    print(json.dumps(report))
     return 0
 
 
@@ -723,6 +759,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="host prefetch + device upload queue depth "
                          "(device-side raw backlog = depth x buffer bytes)")
     pr.add_argument("--metrics-window", type=float, default=5.0)
+    pr.add_argument("--metrics-json", default=None, metavar="PATH",
+                    help="stream each throughput window as a JSON line to "
+                         "PATH (the engine's live-counter record)")
+    pr.add_argument("--wire-format", choices=["uint16", "packed12"],
+                    default="uint16",
+                    help="host->device wire format; 'packed12' uploads "
+                         "1.5 bytes/sample and unpacks on device (needs a "
+                         "source yielding packed bytes, e.g. --packed-12bit "
+                         "with --keep-packed)")
+    pr.add_argument("--keep-packed", action="store_true",
+                    help="with --packed-12bit: hand the engine the packed "
+                         "wire bytes instead of unpacking on host")
     rec = pr.add_argument_group("recording (octprozapp.cpp:215-299 analog)")
     rec.add_argument("--record-background", type=int, default=0, metavar="N",
                      help="capture the post-process background from the "

@@ -71,8 +71,16 @@ class VirtualOctSource:
         copy_to_ram: bool = True,
         total_buffers_to_acquire: Optional[int] = None,
         packed_12bit: bool = False,
+        keep_packed: bool = False,
         big_endian: bool = False,
     ):
+        #: keep_packed: yield the packed-12 WIRE bytes untouched (uint8,
+        #: 1.5 bytes/sample) for an engine running wire_format="packed12" —
+        #: the unpack then happens ON DEVICE after a 25 %-smaller upload
+        #: (ops.convert.unpack_uint12_device)
+        if keep_packed and not packed_12bit:
+            raise ValueError("keep_packed requires packed_12bit=True")
+        self.keep_packed = keep_packed
         self.path = path
         self.acq = acq
         self.wait_time_us = wait_time_us
@@ -129,6 +137,10 @@ class VirtualOctSource:
         raw = native.read_file_at(self.path, offset, self._buffer_bytes,
                                   getattr(self, "_scratch", None))
         if self.packed_12bit:
+            if self.keep_packed:
+                # wire bytes untouched; copy streaming-mode scratch reads
+                return (raw.copy()
+                        if raw is getattr(self, "_scratch", None) else raw)
             return native.unpack_uint12(
                 raw, self.acq.samples_per_buffer).reshape(self.acq.buffer_shape)
         out = raw.view(self._dtype).reshape(self.acq.buffer_shape)

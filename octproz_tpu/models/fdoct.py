@@ -112,6 +112,29 @@ class FdOctModel:
             jnp.asarray(raw),
             jax.sharding.NamedSharding(self.mesh, buffer_pspec(self.mesh)))
 
+    def put_packed_buffer(self, packed) -> jax.Array:
+        """Upload a packed-12-bit wire buffer (1.5 bytes/sample) and unpack
+        on device -> uint16 (bscans, ascans, samples).
+
+        The H2D link is the streaming bottleneck on remote backends; the
+        packed wire format cuts the per-buffer bytes by 25 % vs the
+        12-in-16 container (ops.convert.unpack_uint12_device — the
+        UINT12_PACKED capability the reference never implements,
+        octalgorithmparameters.h:69)."""
+        if self.mesh is not None:
+            raise ValueError("packed wire format is single-device "
+                             "streaming mode")
+        if self.acq.bit_depth != 12:
+            raise ValueError("packed-12 wire format needs bit_depth=12")
+        if not hasattr(self, "_unpack_jit"):
+            from ..ops import convert as _convert
+
+            acq = self.acq
+            self._unpack_jit = jax.jit(
+                lambda p: _convert.unpack_uint12_device(
+                    p, acq.samples_per_buffer).reshape(acq.buffer_shape))
+        return self._unpack_jit(jnp.asarray(np.asarray(packed, np.uint8)))
+
     def fetch(self, arr) -> np.ndarray:
         """D2H fetch of a processed buffer: the full array on a single host,
         this process's contiguous B-scan block on a multi-host mesh (the

@@ -43,6 +43,32 @@ def decode(raw: jnp.ndarray, bit_depth: int, bitshift: bool = False) -> jnp.ndar
     return x.astype(jnp.float32)
 
 
+def unpack_uint12_device(packed: jnp.ndarray, n_samples: int) -> jnp.ndarray:
+    """Device-side 12-bit unpack: uint8[(n_samples//2)*3] -> uint16[n_samples].
+
+    The packed-12 WIRE FORMAT for host->device streaming: 12-bit digitizer
+    samples cross the link at 1.5 bytes/sample instead of 2 (the 12-in-16
+    container), raising a link-bound feed's ceiling by 33 %.  The unpack is
+    one cheap elementwise XLA pass on device.  This is the capability the
+    reference enumerates as ``UINT12_PACKED`` but never implements
+    (octalgorithmparameters.h:69, docs/docs/faq.md:3-5).
+
+    Layout matches the host/native unpack (two samples per 3-byte group,
+    native/octnative.cpp:154-165).  n_samples must be even (every real
+    buffer geometry is).  All shifts run in int32: TPU sub-word unsigned
+    shifts are the Mosaic trap the repo conventions ban, and int32 is
+    uniformly safe.
+    """
+    if n_samples % 2:
+        raise ValueError("device unpack needs an even sample count")
+    b = packed.reshape(-1, 3).astype(jnp.int32)
+    s0 = jnp.bitwise_or(b[:, 0], jnp.left_shift(
+        jnp.bitwise_and(b[:, 1], 0x0F), 8))
+    s1 = jnp.bitwise_or(jnp.right_shift(b[:, 1], 4),
+                        jnp.left_shift(b[:, 2], 4))
+    return jnp.stack([s0, s1], axis=1).reshape(n_samples).astype(jnp.uint16)
+
+
 def unpack_uint12_packed(raw_bytes: np.ndarray, n_samples: int) -> np.ndarray:
     """Unpack little-endian 12-bit packed samples (two per 3 bytes) -> uint16.
 

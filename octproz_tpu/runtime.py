@@ -195,9 +195,11 @@ class _DeviceFeeder:
     _SENTINEL = object()
 
     def __init__(self, prefetcher: "_Prefetcher", model: FdOctModel,
-                 depth: int = 2):
+                 depth: int = 2, wire_format: str = "uint16"):
         self._prefetcher = prefetcher
         self._model = model
+        self._put = (model.put_packed_buffer if wire_format == "packed12"
+                     else model.put_buffer)
         self._queue: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True,
@@ -213,7 +215,7 @@ class _DeviceFeeder:
                 raw = self._prefetcher.get()
                 if raw is None:
                     break
-                dev = self._model.put_buffer(raw)
+                dev = self._put(raw)
                 while not self._stop.is_set():
                     try:
                         self._queue.put((raw, dev), timeout=0.1)
@@ -277,6 +279,7 @@ class StreamingEngine:
         max_in_flight: int = 2,
         prefetch_depth: int = 2,
         upload_prefetch: bool = True,
+        wire_format: str = "uint16",
         dispatch_chunk: int = 1,
         chunk_strategy: str = "auto",
         metrics_window_s: float = 5.0,
@@ -298,6 +301,14 @@ class StreamingEngine:
         # (_DeviceFeeder).  Multi-host feeds stay on the loop thread: the
         # per-process shard commit coordinates across processes.
         self.upload_prefetch = upload_prefetch and not model.is_multihost
+        # "packed12": the source yields packed-12-bit wire buffers
+        # (uint8, 1.5 bytes/sample); they cross the link packed and are
+        # unpacked on device (model.put_packed_buffer).  Raw-side
+        # subscribers and the raw recorder then see the PACKED wire bytes
+        # — the honest raw record of what the digitizer delivered.
+        if wire_format not in ("uint16", "packed12"):
+            raise ValueError("wire_format must be 'uint16' or 'packed12'")
+        self.wire_format = wire_format
         # >1: batch this many buffers into ONE device dispatch -- throughput
         # mode for tunneled/remote backends where per-dispatch latency
         # dominates sub-3 ms kernels; costs dispatch_chunk buffers of
@@ -446,7 +457,8 @@ class StreamingEngine:
         feeder = None
         if self.upload_prefetch:
             feeder = _DeviceFeeder(prefetcher, self.model,
-                                   depth=self.prefetch_depth)
+                                   depth=self.prefetch_depth,
+                                   wire_format=self.wire_format)
             feeder.start()
         self._stop_requested.clear()
         self.running = True
@@ -563,7 +575,9 @@ class StreamingEngine:
                     raw = prefetcher.get()
                     if raw is None:
                         break
-                    dev = raw  # process_buffer uploads inline
+                    # inline upload on the loop thread (no feeder)
+                    dev = (self.model.put_packed_buffer(raw)
+                           if self.wire_format == "packed12" else raw)
                 buffer_nr = (processed_count + len(chunk_raws)) % bufs_per_vol
 
                 # raw-side subscribers get the host buffer before upload
@@ -574,7 +588,7 @@ class StreamingEngine:
                     self.extensions.feed_raw(np.asarray(raw), acq, buffer_nr)
 
                 if self.dispatch_chunk > 1:
-                    chunk_raws.append(dev if feeder is not None
+                    chunk_raws.append(dev if isinstance(dev, jax.Array)
                                       else np.asarray(raw))
                     if len(chunk_raws) >= self.dispatch_chunk:
                         flush_chunk()

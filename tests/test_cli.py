@@ -195,3 +195,65 @@ def test_preset_base_with_flag_overlay(tmp_path, capsys):
                "--fpn", "off", "--output", str(out)])
     assert rc == 0
     assert out.stat().st_size == bsc * asc * (n // 2) * 4
+
+
+
+@pytest.fixture()
+def small_raw_file(tmp_path):
+    """One tiny 12-bit file: 4 buffers of 2x8 A-scans x 64 samples."""
+    rng = np.random.default_rng(9)
+    vol = rng.integers(0, 4095, size=(4, 2, 8, 64)).astype(np.uint16)
+    path = tmp_path / "small.raw"
+    vol.tofile(path)
+    return path
+
+
+def test_replay_metrics_json_stream(tmp_path, capsys, small_raw_file):
+    """--metrics-json streams each throughput window as JSONL and the
+    final report carries the window summary (the engine's live-counter
+    record, processing.cpp:193-207 analog; ENGINE_r04 methodology)."""
+    mpath = tmp_path / "windows.jsonl"
+    rc = main(["replay", str(small_raw_file), "--samples", "64",
+               "--ascans", "8", "--bscans", "2", "--max-buffers", "12",
+               "--wait-us", "20000",  # paced; the tail outlives the compile
+               "--metrics-window", "0.01", "--metrics-json", str(mpath)])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["buffers_processed"] == 12
+    assert rep["windows"] >= 1
+    assert rep["last_window"]["ascans_per_s"] > 0
+    lines = [json.loads(l) for l in mpath.read_text().splitlines()]
+    assert len(lines) == rep["windows"]
+    assert lines[-1] == rep["last_window"]
+
+
+def test_replay_packed12_wire_matches_uint16(tmp_path, capsys, small_raw_file):
+    """The packed-12 wire path through the CLI produces the same processed
+    stream as the uint16 container wire."""
+    import numpy as np
+
+    from octproz_tpu import native
+
+    raw = np.fromfile(small_raw_file, np.uint16)
+    packed_path = tmp_path / "packed.raw"
+    native.pack_uint12(raw & 0x0FFF).tofile(packed_path)
+
+    def run(args_):
+        rc = main(args_)
+        assert rc == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    base = ["--samples", "64", "--ascans", "8", "--bscans", "2",
+            "--max-buffers", "2"]
+    # mask to 12-bit for the comparison run too
+    masked_path = tmp_path / "masked.raw"
+    (raw & 0x0FFF).tofile(masked_path)
+    a = run(["replay", str(masked_path)] + base)
+    b = run(["replay", str(packed_path), "--packed-12bit", "--keep-packed",
+             "--wire-format", "packed12"] + base)
+    assert a["buffers_processed"] == b["buffers_processed"] == 2
+
+    with pytest.raises(SystemExit, match="packed"):
+        # packed wire without a packed source is rejected
+        main(["replay", str(packed_path), "--wire-format", "packed12"]
+             + base)

@@ -279,3 +279,21 @@ class TestOracleSelfConsistency:
             a = oracle.resample(x, curve, mode)
             b = oracle.resample_fast(x, curve, mode)
             np.testing.assert_allclose(a, b, rtol=1e-13, atol=1e-13)
+
+
+class TestDeviceUnpack:
+    def test_device_unpack_matches_native(self, rng):
+        from octproz_tpu import native
+        from octproz_tpu.ops import convert
+
+        samples = rng.integers(0, 4096, 2048).astype(np.uint16)
+        packed = native.pack_uint12(samples)
+        got = np.asarray(convert.unpack_uint12_device(
+            jnp.asarray(packed), samples.size))
+        np.testing.assert_array_equal(got, samples)
+
+    def test_device_unpack_rejects_odd(self):
+        from octproz_tpu.ops import convert
+
+        with pytest.raises(ValueError, match="even"):
+            convert.unpack_uint12_device(jnp.zeros(3, jnp.uint8), 1)

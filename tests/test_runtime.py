@@ -566,3 +566,49 @@ def test_upload_feeder_propagates_source_error():
     eng = StreamingEngine(model, BadSource(), upload_prefetch=True)
     with pytest.raises(Boom):
         eng.run()
+
+
+def test_packed12_wire_format_matches_uint16_wire():
+    """wire_format='packed12': the source yields packed wire bytes
+    (1.5 B/sample), the upload crosses the link packed and is unpacked ON
+    DEVICE — output must be bit-identical to the uint16 container wire
+    (the UINT12_PACKED capability the reference enumerates but never
+    implements, octalgorithmparameters.h:69)."""
+    from octproz_tpu import native
+
+    rng = np.random.default_rng(5)
+    bufs = [rng.integers(0, 4096, ACQ.buffer_shape).astype(np.uint16)
+            for _ in range(3)]
+
+    class U16Source:
+        def buffers(self):
+            yield from bufs
+
+    class PackedSource:
+        def buffers(self):
+            for b in bufs:
+                yield native.pack_uint12(b.reshape(-1))
+
+    def collect(source, **kw):
+        ext = CollectingExtension()
+        exts = ExtensionManager()
+        exts.add(ext)
+        ext.activate()
+        model = FdOctModel(ACQ, CFG,
+                           resample_coeffs=(0.0, ACQ.samples_per_line - 1.0,
+                                            0.0, 0.0))
+        eng = StreamingEngine(model, source(), extensions=exts,
+                              stream_to_host=True, **kw)
+        assert eng.run() == 3
+        return [c[0] for c in ext.processed_calls]
+
+    base = collect(U16Source)
+    packed = collect(PackedSource, wire_format="packed12")
+    packed_inline = collect(PackedSource, wire_format="packed12",
+                            upload_prefetch=False)
+    packed_chunked = collect(PackedSource, wire_format="packed12",
+                             dispatch_chunk=3)
+    for a, b, c, d in zip(base, packed, packed_inline, packed_chunked):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, c)
+        np.testing.assert_array_equal(a, d)
