@@ -366,6 +366,31 @@ def _run_e2e(cfg, time_budget_s: float = 60.0, max_iters: int = 512,
             for i in range(max_iters):
                 yield ring[i % len(ring)]
 
+    # upload-only rate THROUGH THE SAME feeder machinery (no compute):
+    # the honest feed ceiling under the engine's own threading — a solo
+    # device_put probe overstates the tunnel, which degrades under any
+    # concurrent RPC traffic (H2D_DIAG.json overlap stage).  If the full
+    # e2e rate matches this, the engine adds no overhead beyond the link.
+    from octproz_tpu.runtime import _DeviceFeeder, _Prefetcher
+
+    pre = _Prefetcher(_HostRing(), 2)
+    feeder0 = _DeviceFeeder(pre, model, depth=2, wire_format=wire)
+    pre.start()
+    feeder0.start()
+    n_up = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < min(30.0, time_budget_s / 3):
+        item = feeder0.get(poll=0.1)
+        if item is None:
+            break
+        jax.block_until_ready(item[1])
+        n_up += 1
+    upload_only_elapsed = time.perf_counter() - t0
+    feeder0.stop()
+    pre.stop()
+    upload_only_mhz = (n_up * acq.ascans_per_buffer / upload_only_elapsed
+                       / 1e6)
+
     # warmup compiles OUTSIDE the timed region: per-buffer step (FPN
     # determination) and, for chunked dispatch, the chunk executable
     dev0 = (model.put_packed_buffer(ring[0]) if wire == "packed12"
@@ -378,21 +403,30 @@ def _run_e2e(cfg, time_budget_s: float = 60.0, max_iters: int = 512,
                   if wire == "packed12" else np.stack([ring[0]] * chunk))
         jax.block_until_ready(model.process_chunk(stack0))
 
+    windows = []
+
     eng = StreamingEngine(model, _HostRing(), upload_prefetch=True,
                           prefetch_depth=2, dispatch_chunk=chunk,
                           chunk_strategy="auto", metrics_window_s=5.0,
-                          wire_format=wire)
+                          wire_format=wire,
+                          on_metrics=lambda s: windows.append(
+                              round(s.ascans_per_s / 1e6, 4)))
 
-    def stop_when_over_budget(stats):
-        if time.perf_counter() - t0 > time_budget_s:
-            eng.stop()
+    # hard budget watchdog: with chunked dispatch the meter only ticks at
+    # flush, so the stop must not depend on a window closing
+    import threading
 
-    eng.on_metrics = stop_when_over_budget
+    watchdog = threading.Timer(time_budget_s, eng.stop)
+    watchdog.daemon = True
     t0 = time.perf_counter()
-    done = eng.run()
+    watchdog.start()
+    done = eng.run(max_buffers=max_iters)
     # make the tail observable: all dispatched work complete
     jax.block_until_ready(model.fpn_state.mean_line)
     elapsed = time.perf_counter() - t0
+    watchdog.cancel()
+    ended_by = ("budget" if elapsed >= time_budget_s
+                else "source_exhausted" if done >= max_iters else "early")
 
     e2e_mhz = done * acq.ascans_per_buffer / elapsed / 1e6
     window = eng.meter.last  # the engine's own 5 s info-box instrument
@@ -405,11 +439,18 @@ def _run_e2e(cfg, time_budget_s: float = 60.0, max_iters: int = 512,
         "h2d_ceiling_mhz": round(ceiling_mhz, 3),
         "ceiling_fraction": round(e2e_mhz / ceiling_mhz, 3) if ceiling_mhz
         else None,
+        "upload_only_mhz": round(upload_only_mhz, 4),
+        "upload_only_buffers": n_up,
+        "vs_upload_only": (round(e2e_mhz / upload_only_mhz, 3)
+                           if upload_only_mhz else None),
         "buffer_mb": round(acq.bytes_per_buffer / 1e6, 1),
         "wire": wire,
         "wire_mb": round(wire_bytes / 1e6, 1),
         "buffers": done,
         "chunk": chunk,
+        "ended_by": ended_by,
+        "elapsed_s": round(elapsed, 1),
+        "windows_mhz": windows,
         "measured_by": "StreamingEngine + ThroughputMeter",
     }
 

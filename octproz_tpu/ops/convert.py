@@ -58,9 +58,30 @@ def unpack_uint12_device(packed: jnp.ndarray, n_samples: int) -> jnp.ndarray:
     buffer geometry is).  All shifts run in int32: TPU sub-word unsigned
     shifts are the Mosaic trap the repo conventions ban, and int32 is
     uniformly safe.
+
+    TPU layout note: a ``(N, 3)``-shaped intermediate is catastrophic on
+    TPU — the (8, 128) tiling pads the 3-wide minor dimension to 128, a
+    42x memory blowup (measured: a 34 GB allocation for a 268 MB buffer).
+    When ``n_samples`` is a multiple of 256 the unpack instead works on
+    rows of 384 bytes (= 256 samples): the byte planes become
+    ``(rows, 128)`` slices (lane-aligned) and the sample interleave is a
+    static 256-wide gather.  The (N, 3) form remains as the fallback for
+    odd sizes (fine on CPU).
     """
     if n_samples % 2:
         raise ValueError("device unpack needs an even sample count")
+    if n_samples % 256 == 0:
+        b = packed.reshape(-1, 384).astype(jnp.int32)   # 256 samples/row
+        b0, b1, b2 = b[:, 0::3], b[:, 1::3], b[:, 2::3]  # (rows, 128)
+        s0 = jnp.bitwise_or(b0, jnp.left_shift(
+            jnp.bitwise_and(b1, 0x0F), 8))
+        s1 = jnp.bitwise_or(jnp.right_shift(b1, 4),
+                            jnp.left_shift(b2, 4))
+        cat = jnp.concatenate([s0, s1], axis=1)          # (rows, 256)
+        k = jnp.arange(256)
+        interleave = jnp.where(k % 2 == 0, k // 2, 128 + k // 2)
+        out = jnp.take(cat, interleave, axis=1)
+        return out.reshape(n_samples).astype(jnp.uint16)
     b = packed.reshape(-1, 3).astype(jnp.int32)
     s0 = jnp.bitwise_or(b[:, 0], jnp.left_shift(
         jnp.bitwise_and(b[:, 1], 0x0F), 8))
