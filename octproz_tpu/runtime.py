@@ -471,7 +471,8 @@ class StreamingEngine:
         processed_count = 0
         chunk_raws: List[np.ndarray] = []
 
-        def dispatch_one(processed, buffer_nr: int) -> None:
+        def dispatch_one(processed, buffer_nr: int,
+                         probe: bool = True) -> None:
             nonlocal processed_count
             if self._post_bg_remaining > 0:
                 self._capture_post_background(processed)
@@ -499,9 +500,12 @@ class StreamingEngine:
                 # completion -- the explicit analog of the reference's
                 # blocking CUDA event (cuda_code.cu:1416-1420).  Without
                 # it nothing bounds how far the host runs ahead of the
-                # device.
+                # device.  In chunked mode only the LAST buffer of a chunk
+                # carries the probe (probe=False otherwise): one dispatch +
+                # one D2H sync per chunk instead of per buffer -- on a
+                # remote link every extra RPC steals upload bandwidth.
                 in_flight.append((buffer_nr, None, None, False,
-                                  self._probe(processed)))
+                                  self._probe(processed) if probe else None))
             else:
                 # record_quant is the ENQUEUE-time decision: a recording
                 # started while these buffers are in flight must not
@@ -558,7 +562,8 @@ class StreamingEngine:
                 for i in range(outs.shape[0]):
                     if self._stop_requested.is_set():
                         break  # stop() / stop_after_record honored mid-chunk
-                    dispatch_one(outs[i], (first_nr + i) % bufs_per_vol)
+                    dispatch_one(outs[i], (first_nr + i) % bufs_per_vol,
+                                 probe=(i == outs.shape[0] - 1))
             chunk_raws.clear()
 
         try:
