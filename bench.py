@@ -420,11 +420,13 @@ def _run_e2e(cfg, time_budget_s: float = 60.0, max_iters: int = 512,
     watchdog.daemon = True
     t0 = time.perf_counter()
     watchdog.start()
-    done = eng.run(max_buffers=max_iters)
-    # make the tail observable: all dispatched work complete
-    jax.block_until_ready(model.fpn_state.mean_line)
+    try:
+        done = eng.run(max_buffers=max_iters)
+        # make the tail observable: all dispatched work complete
+        jax.block_until_ready(model.fpn_state.mean_line)
+    finally:
+        watchdog.cancel()
     elapsed = time.perf_counter() - t0
-    watchdog.cancel()
     ended_by = ("budget" if elapsed >= time_budget_s
                 else "source_exhausted" if done >= max_iters else "early")
 
