@@ -90,16 +90,38 @@ def main() -> None:
     out, state = step(ring[0], curves, state)
     jax.block_until_ready(out)
 
+    # Latency sync point: a SCALAR D2H fetch of the output.  On the
+    # tunneled axon backend block_until_ready does not wait for execution
+    # (measured: 0.09 ms "latency" against a 1.46 ms MXU floor); only a
+    # host observation of device data is a real sync (the bench.py
+    # float(np.asarray(...)) pattern).  The fetch is one scalar, so what
+    # is measured is dispatch -> result-observable-at-host — exactly the
+    # latency a streaming client sees (including one host<->device round
+    # trip, which a local deployment pays too, just smaller).
     lat_ms = []
     t_start = time.perf_counter()
     for i in range(args.n):
         t0 = time.perf_counter()
         out, state = step(ring[i % len(ring)], curves, state)
-        jax.block_until_ready(out)  # latency mode: sync EVERY buffer
+        float(np.asarray(out[0, 0, 5]))
         lat_ms.append((time.perf_counter() - t0) * 1e3)
         if time.perf_counter() - t_start > 60.0:
             break
     lat = np.asarray(lat_ms)
+
+    # Companion number: amortized per-buffer device time over a pipelined
+    # run (one sync at the end) — the dispatch-latency-free floor the
+    # chunked/batch path amortizes toward.
+    m = max(8, min(32, args.n))
+    acc = None
+    t0 = time.perf_counter()
+    for i in range(m):
+        out, state = step(ring[i % len(ring)], curves, state)
+        s = out[0, 0, 5]
+        acc = s if acc is None else acc + s
+    float(np.asarray(acc))
+    amortized_ms = (time.perf_counter() - t0) * 1e3 / m
+
     q = lambda p: round(float(np.percentile(lat, p)), 3)
     print(json.dumps({
         "metric": "per_buffer_latency",
@@ -108,6 +130,8 @@ def main() -> None:
         "p50": q(50), "p90": q(90), "p99": q(99),
         "max": round(float(lat.max()), 3),
         "mean": round(float(lat.mean()), 3),
+        "amortized_pipelined_ms": round(amortized_ms, 3),
+        "sync": "scalar D2H observation per buffer",
         "ascans_per_buffer": acq.ascans_per_buffer,
         "fold_backend": args.backend,
         "compute_dtype": args.compute_dtype,
