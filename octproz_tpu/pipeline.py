@@ -266,11 +266,13 @@ def make_scan_step(acq: AcqParams, cfg: ProcConfig, donate_raw: bool = False):
 
     This is the throughput-mode entry point: on a tunneled/remote device the
     per-call dispatch latency dominates once the per-buffer kernels are fast
-    (measured ~7 ms/buffer dispatch-bound vs ~2.5 ms/buffer inside one
+    (LATENCY_r04.json: p50 28.6 ms per synchronous per-buffer dispatch,
+    15.2 ms amortized pipelined, vs 1.46 ms/buffer inside a chunked batch
     dispatch on the same chip), and the reference's analog — one
     ``octCudaPipeline`` launch batch per buffer on a local PCIe GPU
     (cuda_code.cu:1389) — has no such per-launch penalty to amortize.
-    Latency-sensitive streaming keeps using :func:`make_step` per buffer.
+    Latency-sensitive streaming keeps using :func:`make_step` per buffer
+    and pays dispatch latency for freshness.
     """
     from .curves import consumed_fields
 
