@@ -168,19 +168,26 @@ def _run(cfg, n_iters: int = 40, chunk: int = 1,
                        state.mean_line, acc)  # warmup compile
         float(np.asarray(acc))
 
+        # In-flight window of 4 chunks: on the tunneled backend the
+        # dispatch/fetch round trip is tunnel-mood-dependent (tens to
+        # hundreds of ms); a 1-deep pipeline stalls the device whenever
+        # RTT exceeds one chunk's compute (chunk 32 = ~47 ms), which is
+        # exactly what degraded a validation headline to 21 MHz.  Depth 4
+        # hides RTT up to ~4x the chunk time.
         done = 0
-        pending = None
+        pending = []
         t0 = time.perf_counter()
         while done < n_iters:
             acc = run_mega(raw_stack, curves.depth_op_re, curves.depth_op_im,
                            state.mean_line, acc)
             done += chunk
-            if pending is not None:
-                float(np.asarray(pending))
-            pending = acc
+            pending.append(acc)
+            if len(pending) > 4:
+                float(np.asarray(pending.pop(0)))
             if time.perf_counter() - t0 > 60.0:
                 break
-        float(np.asarray(pending))
+        for p in pending:
+            float(np.asarray(p))
         elapsed = time.perf_counter() - t0
         return done * acq.ascans_per_buffer / elapsed / 1e6
 
@@ -248,17 +255,18 @@ def _run(cfg, n_iters: int = 40, chunk: int = 1,
         # window (runtime.py max_in_flight); the final fetch is inside the
         # timed region so all dispatched work is complete at t_end.
         done = 0
-        pending = None
+        pending = []
         t0 = time.perf_counter()
         while done < n_iters:
             acc, state = run_chunk(raw_stack, used_vals, acc, state)
             done += chunk
-            if pending is not None:
-                float(np.asarray(pending))  # sync chunk i-1; chunk i queued
-            pending = acc
+            pending.append(acc)
+            if len(pending) > 4:   # hide up to ~4 chunk-times of RTT
+                float(np.asarray(pending.pop(0)))
             if time.perf_counter() - t0 > 60.0:
                 break
-        float(np.asarray(pending))
+        for p in pending:
+            float(np.asarray(p))
         elapsed = time.perf_counter() - t0
         return done * acq.ascans_per_buffer / elapsed / 1e6
 
