@@ -430,8 +430,10 @@ def _run_e2e(cfg, time_budget_s: float = 60.0, max_iters: int = 512,
     watchdog.start()
     try:
         done = eng.run(max_buffers=max_iters)
-        # make the tail observable: all dispatched work complete
-        jax.block_until_ready(model.fpn_state.mean_line)
+        # make the tail observable: a host FETCH (block_until_ready does
+        # not wait for execution on this backend); the engine's own drain
+        # fetches every retained probe scalar before run() returns
+        np.asarray(model.fpn_state.mean_line)
     finally:
         watchdog.cancel()
     elapsed = time.perf_counter() - t0
@@ -657,37 +659,14 @@ def main() -> None:
         plans.append(("xla", dict(os.environ, OCTPROZ_BENCH_ATTEMPT="xla",
                                   OCTPROZ_BENCH_FORCE_CPU="1")))
 
-    def tunnel_alive(timeout_s: float = 90.0) -> bool:
-        """Probe device-op liveness in a THROWAWAY subprocess (CLAUDE.md:
-        enumeration works even when execution hangs; a wedged probe must
-        not wedge this parent)."""
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp; print(jnp.ones(4).sum())"],
-                capture_output=True, timeout=timeout_s)
-            return r.returncode == 0
-        except subprocess.TimeoutExpired:
-            return False
+    # shared liveness policy (octproz_tpu/utils/tunnel.py); the old
+    # OCTPROZ_BENCH_TUNNEL_WAIT env cap is honored via the shared default
+    from octproz_tpu.utils.tunnel import wait_tunnel as _wait_tunnel
 
     def wait_tunnel(max_wait_s: float = None) -> bool:
-        """The tunnel wedge is transient but can last tens of minutes: wait
-        for revival between attempts instead of burning a full attempt
-        timeout on a dead link (wedges >30 min have been observed; a
-        CPU-only record because we gave up 10 min too early is the worse
-        outcome)."""
-        if max_wait_s is None:
-            max_wait_s = float(os.environ.get("OCTPROZ_BENCH_TUNNEL_WAIT",
-                                              "1800"))
-        t0 = time.monotonic()
-        while True:
-            if tunnel_alive():
-                return True
-            if time.monotonic() - t0 >= max_wait_s:
-                return False
-            print("bench: tunnel unresponsive; waiting for revival",
-                  file=sys.stderr)
-            time.sleep(60)
+        if max_wait_s is None and os.environ.get("OCTPROZ_BENCH_TUNNEL_WAIT"):
+            max_wait_s = float(os.environ["OCTPROZ_BENCH_TUNNEL_WAIT"])
+        return _wait_tunnel(max_wait_s, label="bench: tunnel")
 
     def run_attempt(env, timeout_key="1200"):
         """One isolated subprocess attempt; returns the parsed JSON line or

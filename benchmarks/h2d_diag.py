@@ -245,24 +245,10 @@ def main() -> None:
     if "--out" in args:
         out_path = args[args.index("--out") + 1]
 
-    def tunnel_alive(timeout_s: float = 90.0) -> bool:
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp; print(jnp.ones(4).sum())"],
-                capture_output=True, timeout=timeout_s)
-            return r.returncode == 0
-        except subprocess.TimeoutExpired:
-            return False
+    from octproz_tpu.utils.tunnel import wait_tunnel as _wait_tunnel
 
     def wait_tunnel(max_wait_s: float = 3600.0) -> bool:
-        t0 = time.monotonic()
-        while not tunnel_alive():
-            if time.monotonic() - t0 >= max_wait_s:
-                return False
-            print("h2d_diag: tunnel unresponsive; waiting", file=sys.stderr)
-            time.sleep(60)
-        return True
+        return _wait_tunnel(max_wait_s, label="h2d_diag: tunnel")
 
     report = {"buffer_mb": round(BUF_BYTES / 1e6, 1)}
     for name in stages:

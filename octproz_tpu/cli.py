@@ -446,11 +446,22 @@ def cmd_replay(args) -> int:
     system = _maybe_system_source(args, bundle)
     acq, cfg, model_kw = _build_config(args, bundle, system=system)
     model = FdOctModel(acq, cfg, **model_kw)
-    if args.wire_format == "packed12" and not (system is None
-                                               and args.keep_packed):
+    # wire-format / source-framing consistency (both directions: packed
+    # wire without a packed source feeds garbage shapes into the jit, and
+    # packed bytes with a uint16 wire would be decoded as samples)
+    keep_packed = getattr(args, "keep_packed", False)
+    packed_src = bool(vars(args).get("packed_12bit", False))
+    if args.wire_format == "packed12" and not (system is None and keep_packed
+                                               and packed_src):
         raise SystemExit("--wire-format packed12 needs a file source with "
                          "--packed-12bit --keep-packed (the engine expects "
                          "packed wire bytes)")
+    if keep_packed and not packed_src:
+        raise SystemExit("--keep-packed requires --packed-12bit")
+    if keep_packed and args.wire_format != "packed12":
+        raise SystemExit("--keep-packed yields packed wire bytes; use "
+                         "--wire-format packed12 (or drop --keep-packed "
+                         "to unpack on host)")
     src = system or VirtualOctSource(
         args.input, acq, wait_time_us=args.wait_us,
         total_buffers_to_acquire=args.max_buffers,
@@ -542,14 +553,18 @@ def cmd_replay(args) -> int:
         else:
             eng.start_recording(params)
     t0 = time.perf_counter()
-    n = eng.run(max_buffers=args.max_buffers)
-    dt = time.perf_counter() - t0
-    if system is not None:
-        system.close()  # join the device producer thread
-    if live is not None:
-        live.close()
-    if metrics_fh:
-        metrics_fh.close()
+    try:
+        n = eng.run(max_buffers=args.max_buffers)
+    finally:
+        # a source error mid-run must not leak the metrics handle, the
+        # producer thread, or the viewer's server socket
+        dt = time.perf_counter() - t0
+        if system is not None:
+            system.close()  # join the device producer thread
+        if live is not None:
+            live.close()
+        if metrics_fh:
+            metrics_fh.close()
     report = {
         "buffers_processed": n,
         "ascans_per_s": round(n * acq.ascans_per_buffer / dt, 1),

@@ -16,6 +16,7 @@ implement (octalgorithmparameters.h:69, docs/docs/faq.md:3-5).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -70,6 +71,13 @@ def unpack_uint12_device(packed: jnp.ndarray, n_samples: int) -> jnp.ndarray:
     """
     if n_samples % 2:
         raise ValueError("device unpack needs an even sample count")
+    if n_samples % 256 and jax.default_backend() != "cpu":
+        # refuse the (N, 3) fallback on accelerators instead of silently
+        # OOMing mid-stream with a 42x allocation
+        raise ValueError(
+            f"packed-12 device unpack on this backend needs the sample "
+            f"count to be a multiple of 256 (got {n_samples}); the (N, 3) "
+            f"fallback shape is a ~42x tiling blowup on TPU")
     if n_samples % 256 == 0:
         b = packed.reshape(-1, 384).astype(jnp.int32)   # 256 samples/row
         b0, b1, b2 = b[:, 0::3], b[:, 1::3], b[:, 2::3]  # (rows, 128)

@@ -60,8 +60,13 @@ def _shape_bytes(shape_txt: str) -> int:
 
 def collectives_in_hlo(hlo_text: str) -> List[Dict]:
     """Every cross-device collective in an optimized HLO module, with the
-    per-device payload bytes of its result shape."""
+    per-device payload bytes of its result shape.
+
+    Async collectives are counted at the ``-done`` site: a ``-start``'s
+    result type is a tuple that also aliases the operand buffers, so
+    counting there would roughly double the payload."""
     out = []
+    starts_without_done = {}
     for line in hlo_text.splitlines():
         line = line.strip()
         m = re.match(r"(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(\([^)]*\)|[^ ]+)\s+"
@@ -72,10 +77,19 @@ def collectives_in_hlo(hlo_text: str) -> List[Dict]:
         base = op.removesuffix("-start").removesuffix("-done")
         if base not in _COLLECTIVE_OPS:
             continue
+        if op.endswith("-start"):
+            starts_without_done[base] = starts_without_done.get(base, 0) + 1
+            continue
         if op.endswith("-done"):
-            continue  # counted at the -start site
+            starts_without_done[base] = starts_without_done.get(base, 0) - 1
         out.append({"op": base, "bytes": _shape_bytes(shape_txt),
                     "hlo": line[:160]})
+    # a -start with no matching -done would otherwise be silently dropped
+    for base, n in starts_without_done.items():
+        if n > 0:
+            out.append({"op": base, "bytes": 0,
+                        "hlo": f"<{n} {base}-start without -done: payload "
+                               f"uncounted>"})
     return out
 
 

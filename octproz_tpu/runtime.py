@@ -144,15 +144,22 @@ class _Prefetcher:
                 except queue.Full:
                     continue
 
-    def get(self, poll: float = 0.5) -> Optional[np.ndarray]:
+    def get(self, poll: float = 0.5,
+            stop: Optional[threading.Event] = None) -> Optional[np.ndarray]:
         """Next raw buffer, or None when the source is exhausted/stopped.
 
         End-of-stream is signalled ONLY by the sentinel (or the acquisition
         thread dying); a transiently empty queue -- e.g. the first device
         compile stalling the host for tens of seconds -- must never be
         mistaken for it, or the stream is silently truncated.  Source-side
-        staleness is the source's job (HardwareRingSource.timeout_s)."""
+        staleness is the source's job (HardwareRingSource.timeout_s).
+
+        ``stop``: an external stop request (the engine's) — honored between
+        polls so a caller blocked here can still be stopped while the
+        producer side is wedged (e.g. a hung tunnel upload)."""
         while True:
+            if stop is not None and stop.is_set():
+                return None
             try:
                 item = self._queue.get(timeout=poll)
             except queue.Empty:
@@ -232,9 +239,15 @@ class _DeviceFeeder:
                 except queue.Full:
                     continue
 
-    def get(self, poll: float = 0.5):
-        """Next (host_raw, device_raw), or None at end of stream."""
+    def get(self, poll: float = 0.5,
+            stop: Optional[threading.Event] = None):
+        """Next (host_raw, device_raw), or None at end of stream (or when
+        ``stop`` is set — the upload thread may be wedged inside a hung
+        device_put, and a stop request must still be able to end the run
+        loop)."""
         while True:
+            if stop is not None and stop.is_set():
+                return None
             try:
                 item = self._queue.get(timeout=poll)
             except queue.Empty:
@@ -572,12 +585,12 @@ class StreamingEngine:
                         processed_count + len(chunk_raws) >= max_buffers:
                     break
                 if feeder is not None:
-                    item = feeder.get()
+                    item = feeder.get(stop=self._stop_requested)
                     if item is None:
                         break
                     raw, dev = item
                 else:
-                    raw = prefetcher.get()
+                    raw = prefetcher.get(stop=self._stop_requested)
                     if raw is None:
                         break
                     # inline upload on the loop thread (no feeder)
@@ -605,8 +618,13 @@ class StreamingEngine:
                 flush_chunk()  # partial tail (single-buffer mode: no-op)
             while in_flight:
                 self._drain_one(in_flight)
-            # make the final dispatched step's completion observable
-            jax.block_until_ready(self.model.fpn_state.mean_line)
+            # make the final dispatched step's completion observable.
+            # A HOST FETCH, not block_until_ready: on remote backends the
+            # latter can return without waiting for execution
+            # (docs/troubleshooting.md) — only observing device data is a
+            # real sync.  The retained probes drained above are fetched
+            # the same way, so everything dispatched has executed here.
+            np.asarray(self.model.fpn_state.mean_line)
             # end-of-stream flush: a source that ends before
             # buffers_to_record must not silently discard the capture
             for rec in (self.raw_recorder, self.processed_recorder):
@@ -628,7 +646,10 @@ class StreamingEngine:
             in_flight.pop(0)
         if dev_float is None and dev_quant is None:
             if throttle is not None:
-                jax.block_until_ready(throttle)  # back-pressure only
+                # back-pressure sync: FETCH the scalar — block_until_ready
+                # can return without waiting for execution on remote
+                # backends, which would let the host run ahead unbounded
+                np.asarray(throttle)
             return
         # D2H fetch (the gpu2hostnotifier moment); on a multi-host mesh each
         # process fetches only its own B-scan block (model.fetch)

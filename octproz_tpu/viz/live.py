@@ -148,6 +148,8 @@ async function setDisplay(){
   const wmm = parseFloat(val('wmm')); if (wmm) o.width_mm = wmm;
   const r = await (await fetch('/display', {method:'POST',
     body: JSON.stringify(o)})).json();
+  if (r.reply){ bview.mm = r.reply.depth_mm || 0;
+                eview.mm = r.reply.width_mm || 0; }
   document.getElementById('ctlmsg').textContent = JSON.stringify(r);
 }
 // ---- interactive 2-D views (GLWindow2D analog: zoom/pan/rotate/stretch,
@@ -156,7 +158,7 @@ function makeView(cname, iname){
   const c = document.getElementById(cname), g = c.getContext('2d');
   const img = document.getElementById(iname);
   const v = {zoom: 1, ox: 0, oy: 0, rot: 0, marker: null, cursor: null,
-             frames: 0, fps: 0, lastT: Date.now(), mmDepth: 0, mmWidth: 0};
+             frames: 0, fps: 0, lastT: Date.now(), mm: 0, hover: false};
   function draw(){
     g.setTransform(1,0,0,1,0,0);
     g.clearRect(0,0,c.width,c.height);
@@ -179,8 +181,8 @@ function makeView(cname, iname){
       g.stroke();
     }
     g.restore();
-    if (v.mmDepth && img.naturalHeight){  // scale bar (1/4 of the view)
-      const mmPerPx = v.mmDepth / img.naturalHeight;
+    if (v.mm && img.naturalHeight){  // scale bar (1/4 of the view)
+      const mmPerPx = v.mm / img.naturalHeight;
       const px = c.height/4, mm = mmPerPx * px / (v.zoom *
         Math.min(c.width/img.naturalWidth, c.height/img.naturalHeight));
       g.strokeStyle = '#fff'; g.fillStyle = '#fff'; g.lineWidth = 2;
@@ -231,7 +233,13 @@ function makeView(cname, iname){
     v.marker = (v.marker && v.marker.x==p.x && v.marker.y==p.y) ? null : p;
     draw();
   });
+  c.addEventListener('mouseenter', () => v.hover = true);
+  c.addEventListener('mouseleave', () => v.hover = false);
   window.addEventListener('keydown', e => {
+    // only when this view is hovered AND focus isn't in a form field:
+    // typing '0' into an input must not reset the canvases
+    if (!v.hover || ['INPUT','SELECT','TEXTAREA','BUTTON']
+        .includes((e.target.tagName||'').toUpperCase())) return;
     if (e.key=='r'){ v.rot = (v.rot + 90) % 360; draw(); }
     if (e.key=='0'){ v.zoom = 1; v.ox = v.oy = 0; v.rot = 0; draw(); }
   });
@@ -262,7 +270,8 @@ async function seed(){
     if (p.streaming_skip != null)
       document.getElementById('skip').value = p.streaming_skip;
     const d = await (await fetch('/display.json')).json();
-    bview.mmDepth = d.depth_mm || 0; eview.mmWidth = d.width_mm || 0;
+    // B-scan vertical axis = depth; en-face vertical axis = slow scan
+    bview.mm = d.depth_mm || 0; eview.mm = d.width_mm || 0;
     seeded = true;
   } catch(e){}
 }

@@ -29,25 +29,11 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 
-def tunnel_alive(timeout_s: float = 90.0) -> bool:
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; print(jnp.ones(4).sum())"],
-            capture_output=True, timeout=timeout_s)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+from octproz_tpu.utils.tunnel import wait_tunnel as _wait_tunnel
 
 
 def wait_tunnel(max_wait_s: float = 1800.0) -> bool:
-    t0 = time.monotonic()
-    while not tunnel_alive():
-        if time.monotonic() - t0 >= max_wait_s:
-            return False
-        print("engine_run: tunnel unresponsive; waiting", file=sys.stderr)
-        time.sleep(60)
-    return True
+    return _wait_tunnel(max_wait_s, label="engine_run: tunnel")
 
 
 def make_input(tmp: str, packed: bool) -> str:

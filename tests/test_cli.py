@@ -248,12 +248,33 @@ def test_replay_packed12_wire_matches_uint16(tmp_path, capsys, small_raw_file):
     # mask to 12-bit for the comparison run too
     masked_path = tmp_path / "masked.raw"
     (raw & 0x0FFF).tofile(masked_path)
-    a = run(["replay", str(masked_path)] + base)
+
+    def rec_args(tag):
+        d = tmp_path / tag
+        d.mkdir()
+        return d, ["--record", "--record-processed", "--record-float32",
+                   "--record-buffers", "2", "--record-dir", str(d),
+                   "--record-name", tag, "--record-raw"][:9]
+
+    da, ra = rec_args("u16")
+    a = run(["replay", str(masked_path)] + base + ra)
+    db, rb = rec_args("p12")
     b = run(["replay", str(packed_path), "--packed-12bit", "--keep-packed",
-             "--wire-format", "packed12"] + base)
+             "--wire-format", "packed12"] + base + rb)
     assert a["buffers_processed"] == b["buffers_processed"] == 2
+    # the PROCESSED streams written through each wire are identical
+    fa = sorted(da.glob("*_processed_float32_*.raw"))
+    fb = sorted(db.glob("*_processed_float32_*.raw"))
+    assert len(fa) == 1 and len(fb) == 1
+    np.testing.assert_array_equal(np.fromfile(fa[0], np.float32),
+                                  np.fromfile(fb[0], np.float32))
 
     with pytest.raises(SystemExit, match="packed"):
         # packed wire without a packed source is rejected
         main(["replay", str(packed_path), "--wire-format", "packed12"]
+             + base)
+    with pytest.raises(SystemExit, match="keep-packed requires"):
+        main(["replay", str(packed_path), "--keep-packed"] + base)
+    with pytest.raises(SystemExit, match="wire-format packed12"):
+        main(["replay", str(packed_path), "--packed-12bit", "--keep-packed"]
              + base)

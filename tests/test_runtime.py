@@ -612,3 +612,31 @@ def test_packed12_wire_format_matches_uint16_wire():
         np.testing.assert_array_equal(a, b)
         np.testing.assert_array_equal(a, c)
         np.testing.assert_array_equal(a, d)
+
+
+def test_stop_interrupts_run_while_upload_is_wedged():
+    """engine.stop() must end the run loop even when the upload thread is
+    wedged inside device_put (the tunnel hang case): feeder.get() honors
+    the engine's stop event between polls."""
+    import threading
+    import time as _time
+
+    model = FdOctModel(ACQ, CFG,
+                       resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 0.0, 0.0))
+    release = threading.Event()
+    orig = model.put_buffer
+
+    def wedged_put(raw):
+        release.wait(timeout=30.0)   # simulated hung transfer
+        return orig(raw)
+
+    model.put_buffer = wedged_put
+    eng = StreamingEngine(model, SyntheticSource(ACQ, n_buffers=4),
+                          upload_prefetch=True)
+    threading.Timer(0.3, eng.stop).start()
+    t0 = _time.monotonic()
+    n = eng.run()
+    elapsed = _time.monotonic() - t0
+    release.set()                    # unblock the feeder thread for cleanup
+    assert n == 0
+    assert elapsed < 5.0, f"stop() took {elapsed:.1f}s to take effect"
