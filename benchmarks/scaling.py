@@ -45,15 +45,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _measure(step, raw, curves, state, acq, n_iters, warmup):
-    import jax
+    # sync points are host FETCHES of a scalar: on remote backends
+    # block_until_ready can return without waiting for execution
+    # (docs/troubleshooting.md)
+    def sync(arr):
+        float(arr.ravel()[0])  # device-side index, scalar D2H fetch
 
     for _ in range(max(warmup, 1)):  # >=1: 'out' seeds the ready-barrier
         out, state = step(raw, curves, state)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out, state = step(raw, curves, state)
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
     rate = n_iters * acq.ascans_per_buffer / dt
     return rate, dt / n_iters
