@@ -156,22 +156,26 @@ def ifft_unnormalized(x: np.ndarray) -> np.ndarray:
 
 # -- fixed-pattern noise (cuda_code.cu:523-584) ------------------------------
 
+FPN_TIE_EPS = 1e-3  # octproz_tpu.params.FPN_TIE_EPS — keep in sync
+
+
 def min_variance_mean(lines: np.ndarray, segs: int = FPN_SEGMENTS) -> np.ndarray:
+    """Banded minimum-variance segment selection (ops/fpn.py numerics).
+
+    Deliberate divergence from the reference's exact argmin
+    (cuda_code.cu:548-560): segments whose variance is within
+    FPN_TIE_EPS * mean-power of the minimum are ties and the LOWEST
+    segment index wins, so the choice is invariant under numeric
+    perturbation (precision rungs, accumulation order)."""
     n_lines, width = lines.shape
     seg_width = n_lines // segs
-    out = np.empty(width, np.complex128)
-    for idx in range(width):
-        best_var = np.inf
-        best_mean = 0.0j
-        for s in range(segs):
-            seg = lines[s * seg_width:(s + 1) * seg_width, idx]
-            mean = seg.mean()
-            var = (np.abs(seg) ** 2).mean() - abs(mean) ** 2
-            if var < best_var:
-                best_var = var
-                best_mean = mean
-        out[idx] = best_mean
-    return out
+    used = lines[: segs * seg_width].reshape(segs, seg_width, width)
+    mean = used.mean(axis=1)                       # (segs, width)
+    power = (np.abs(used) ** 2).mean(axis=1)       # (segs, width)
+    var = power - np.abs(mean) ** 2
+    thresh = var.min(axis=0) + FPN_TIE_EPS * power.mean(axis=0)
+    best = np.argmax(var <= thresh[None, :], axis=0)
+    return mean[best, np.arange(width)]
 
 
 # -- truncation + scaling (cuda_code.cu:699-741) -----------------------------

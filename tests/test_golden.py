@@ -63,19 +63,23 @@ KW = dict(resample_coeffs=(0.0, 255.0, 8.0, -3.0),
 PROBES = [(0, 10, 102), (2, 5, 105), (2, 11, 111), (0, 25, 114),
           (3, 14, 8), (0, 29, 68), (1, 14, 37), (0, 8, 35)]
 
+# Re-frozen 2026-08-21 after the FPN tie-banded argmin change
+# (ops/fpn.py:_banded_argmin, VERDICT r4 weak #3): the golden input has
+# near-tied segment variances by construction, so the stabilized selection
+# legitimately picks different (lowest-index) tied segments.
 GOLDEN = {
     # fold=True: the planar full-fold GEMM (the TPU operating point)
-    True: dict(mean=-0.102830, std=0.318217,
+    True: dict(mean=-0.095318, std=0.328408,
                vals=[-0.355045, -0.255469, -0.441004, -0.268356,
-                     0.676892, -0.263880, 0.103938, 0.091930],
-               sha256="5c49e793a4d5ae32b77e6d623b670d9744"
-                      "ce42d6f68394036be65e5f7627379d"),
+                     0.682220, -0.237136, 0.103938, -0.075919],
+               sha256="6655835363d2d668488f82fe72a707e6"
+                      "45aee46edc46de33aea1a0d87c05b31f"),
     # fold=False: jnp.fft path (complex-capable backends)
-    False: dict(mean=-0.102796, std=0.318154,
+    False: dict(mean=-0.095319, std=0.328409,
                 vals=[-0.355058, -0.255454, -0.441029, -0.268355,
-                      0.676892, -0.263820, 0.103934, 0.091935],
-                sha256="43e03742824b386c9f6e9f7a3674c762"
-                       "6b8e76331e9615a4622f2967ff4204d2"),
+                      0.682220, -0.237078, 0.103934, -0.075910],
+                sha256="c2949d9e538bf30e216a97adc0295b94"
+                       "b58d6ec63ebdc8d9fe785500240540eb"),
 }
 
 

@@ -321,6 +321,45 @@ def test_precision_ladder_vs_float64_oracle(rng):
     assert p_highest > 85.0, f"highest: {p_highest:.1f} dB"
 
 
+def test_precision_ladder_fpn_on(rng):
+    """With the tie-banded FPN argmin (ops/fpn.py, VERDICT r4 #2) the
+    ladder's fidelity survives END-TO-END with FPN enabled: the segment
+    selection no longer flips across precision rungs, so high/highest reach
+    their oracle grades instead of saturating at segment-choice chaos
+    (~46/52 dB measured r4)."""
+    import oracle
+
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.CUBIC,
+                     windowing=True, dispersion=True, fpn_mode=FpnMode.ONCE,
+                     bscans_for_noise=2, log_scaling=True,
+                     fft_via_matmul=True)
+    kw = dict(resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 10.0, -4.0),
+              dispersion_coeffs=(0.0, 0.0, 8.0, 0.0),
+              window_type=WindowType.HANNING)
+    cv = curves_mod.make_curves(ACQ, cfg, **kw)
+    raw = _raw(rng)
+    want, _ = oracle.full_pipeline(
+        raw, ACQ.bit_depth,
+        resample_curve=np.asarray(cv.resample_curve),
+        interpolation="cubic",
+        window=np.asarray(cv.window), phase=np.asarray(cv.phase),
+        fpn_lines=ACQ.ascans_per_bscan * 2,
+        log_scaling=True, gmin=cfg.grayscale_min, gmax=cfg.grayscale_max,
+        addend=cfg.addend, coeff=cfg.multiplicator)
+    ref = np.clip(np.asarray(want, np.float64), 0, 1)
+    state = pipeline.initial_fpn_state(ACQ)
+
+    def psnr(c):
+        got, _ = pipeline.process_buffer(jnp.asarray(raw), cv, state, ACQ, c)
+        g = np.clip(np.asarray(got, np.float64), 0, 1)
+        return 10 * np.log10(1.0 / max(float(np.mean((g - ref) ** 2)), 1e-30))
+
+    p_high = psnr(dataclasses.replace(cfg, matmul_precision="high"))
+    p_highest = psnr(dataclasses.replace(cfg, matmul_precision="highest"))
+    assert p_high > 55.0, f"high with FPN on: {p_high:.1f} dB"
+    assert p_highest > 80.0, f"highest with FPN on: {p_highest:.1f} dB"
+
+
 def test_high_precision_xla_backend_matches_pallas(rng):
     """"high" uses the same manual 3-pass split on both fold backends, so
     they agree to float32 accumulation-order tolerance."""
