@@ -477,7 +477,11 @@ def cmd_replay(args) -> int:
     stream = (args.stream or stream_file
               or (args.record and args.record_processed) or args.live)
     windows = []
+    # opened here, closed in the finally below — which must also cover
+    # engine/viewer construction and recording setup, or an exception in
+    # any of that leaks the handle (ADVICE r4)
     metrics_fh = open(args.metrics_json, "w") if args.metrics_json else None
+    live = None
 
     def on_metrics(stats):
         # the engine's own 5 s info-box instrument, streamed as JSONL —
@@ -495,70 +499,71 @@ def cmd_replay(args) -> int:
             metrics_fh.write(json.dumps(rec) + "\n")
             metrics_fh.flush()
 
-    eng = StreamingEngine(model, src, stream_to_host=stream,
-                          streaming_skip=skip, on_info=console.info,
-                          metrics_window_s=args.metrics_window,
-                          dispatch_chunk=args.chunk,
-                          chunk_strategy=args.chunk_strategy,
-                          upload_prefetch=not args.no_upload_prefetch,
-                          prefetch_depth=args.prefetch_depth,
-                          wire_format=args.wire_format,
-                          on_metrics=on_metrics)
-    live = None
-    if args.live:
-        from .viz.live import LiveView
-
-        live = LiveView(port=args.live_port, host=args.live_host,
-                        lut=args.live_lut, volume_render=args.live_volume)
-        live.attach(eng)  # auto-creates a ParamController (POST /control)
-        if args.camera_dir:
-            from .extensions.camera import CameraExtension, DirectoryCamera
-
-            cam = CameraExtension(DirectoryCamera(args.camera_dir,
-                                                  fps=args.camera_fps))
-            eng.extensions.add(cam)
-            cam.activate()
-            live.attach_camera(cam)
-        print(f"live view: {live.url}", flush=True)
-    if args.record_background:
-        eng.record_post_background(args.record_background)
-    if args.record:
-        from .io.recorder import RecordingParams
-
-        rec_kw = dict(bundle.recording)  # [record] group (sidebar REC keys)
-        if args.record_dir is not None:
-            rec_kw["save_dir"] = args.record_dir
-        if args.record_name is not None:
-            rec_kw["name"] = args.record_name
-        if args.record_buffers is not None:
-            rec_kw["buffers_to_record"] = args.record_buffers
-        if args.record_start_with_volume:
-            rec_kw["start_with_first_buffer_of_volume"] = True
-        if args.record_processed:
-            rec_kw["save_processed"] = True
-        if args.record_raw:
-            rec_kw["save_raw"] = True
-        elif args.record_processed and "save_raw" not in rec_kw:
-            rec_kw["save_raw"] = False
-        if args.record_float32:
-            rec_kw["save_as_32bit_float"] = True
-        if args.settings:
-            # recording metadata = copy of the settings file
-            # (octprozapp.cpp:295-298)
-            rec_kw.setdefault("settings_file", args.settings)
-        params = RecordingParams(**rec_kw)
-        if args.schedule_interval is not None:
-            eng.schedule_recordings(params, interval_s=args.schedule_interval,
-                                    total=args.schedule_total)
-        else:
-            eng.start_recording(params)
-    t0 = time.perf_counter()
     try:
+        eng = StreamingEngine(model, src, stream_to_host=stream,
+                              streaming_skip=skip, on_info=console.info,
+                              metrics_window_s=args.metrics_window,
+                              dispatch_chunk=args.chunk,
+                              chunk_strategy=args.chunk_strategy,
+                              upload_prefetch=not args.no_upload_prefetch,
+                              prefetch_depth=args.prefetch_depth,
+                              wire_format=args.wire_format,
+                              on_metrics=on_metrics)
+        if args.live:
+            from .viz.live import LiveView
+
+            live = LiveView(port=args.live_port, host=args.live_host,
+                            lut=args.live_lut, volume_render=args.live_volume)
+            live.attach(eng)  # auto-creates a ParamController (POST /control)
+            if args.camera_dir:
+                from .extensions.camera import CameraExtension, DirectoryCamera
+
+                cam = CameraExtension(DirectoryCamera(args.camera_dir,
+                                                      fps=args.camera_fps))
+                eng.extensions.add(cam)
+                cam.activate()
+                live.attach_camera(cam)
+            print(f"live view: {live.url}", flush=True)
+        if args.record_background:
+            eng.record_post_background(args.record_background)
+        if args.record:
+            from .io.recorder import RecordingParams
+
+            rec_kw = dict(bundle.recording)  # [record] group (sidebar REC keys)
+            if args.record_dir is not None:
+                rec_kw["save_dir"] = args.record_dir
+            if args.record_name is not None:
+                rec_kw["name"] = args.record_name
+            if args.record_buffers is not None:
+                rec_kw["buffers_to_record"] = args.record_buffers
+            if args.record_start_with_volume:
+                rec_kw["start_with_first_buffer_of_volume"] = True
+            if args.record_processed:
+                rec_kw["save_processed"] = True
+            if args.record_raw:
+                rec_kw["save_raw"] = True
+            elif args.record_processed and "save_raw" not in rec_kw:
+                rec_kw["save_raw"] = False
+            if args.record_float32:
+                rec_kw["save_as_32bit_float"] = True
+            if args.settings:
+                # recording metadata = copy of the settings file
+                # (octprozapp.cpp:295-298)
+                rec_kw.setdefault("settings_file", args.settings)
+            params = RecordingParams(**rec_kw)
+            if args.schedule_interval is not None:
+                eng.schedule_recordings(params,
+                                        interval_s=args.schedule_interval,
+                                        total=args.schedule_total)
+            else:
+                eng.start_recording(params)
+        t0 = time.perf_counter()
         n = eng.run(max_buffers=args.max_buffers)
-    finally:
-        # a source error mid-run must not leak the metrics handle, the
-        # producer thread, or the viewer's server socket
         dt = time.perf_counter() - t0
+    finally:
+        # a failure anywhere above — engine/viewer construction, recording
+        # setup, or the run itself — must not leak the metrics handle, the
+        # producer thread, or the viewer's server socket (ADVICE r4)
         if system is not None:
             system.close()  # join the device producer thread
         if live is not None:

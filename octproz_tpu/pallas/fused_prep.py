@@ -351,6 +351,27 @@ def _kernel_depth_scale_concat(raw_ref, w_ref, mean_ref, out_ref,
     out_ref[:] = out.astype(out_ref.dtype)
 
 
+def _kernel_depth_scale_concat_split(raw_ref, *refs, bit_depth: int,
+                                     bitshift: bool, log_scaling: bool,
+                                     half: int, a: float, b: float,
+                                     parts: int):
+    """fold_concat x multi-pass split: the (re | im) operators are
+    concatenated along the output axis BEFORE the bf16 decomposition, so
+    each of the 2*parts-1 MXU passes is ONE full-width
+    (tile, n_in) x (n_in, 2*half) GEMM -- for "high" that is 3 wide passes
+    per tile instead of 6 half-width ones (fewer dispatches, better MXU
+    tiling at the 1024-wide output)."""
+    wides = refs[:parts]
+    mean_ref, out_ref = refs[parts:]
+    x = _decode_block(raw_ref[:], bit_depth, bitshift)
+    y = _dot_split(x, [w[:] for w in wides])
+    re = y[:, :half] - mean_ref[0:1, :]
+    im = y[:, half:] - mean_ref[1:2, :]
+    p = re * re + im * im
+    out = _scale_epilogue(p, log_scaling=log_scaling, a=a, b=b)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
 def _kernel_depth_scale(raw_ref, wre_ref, wim_ref, mean_ref, out_ref,
                         *, bit_depth: int, bitshift: bool, compute_dtype,
                         precision, log_scaling: bool, a: float, b: float,
@@ -639,6 +660,30 @@ def _fused_depth_scale_impl(raw2d, w_re, w_im, mean2, *, bit_depth: int,
     )
     a, b = _scale_affine(log_scaling, half, gmin, gmax, addend, coeff)
     parts = _SPLIT_PARTS.get(precision) if compute_dtype != "bfloat16" else None
+    if parts and fold_concat:
+        # split + single-wide-GEMM: decompose the concatenated (n_in,
+        # 2*half) operator so each bf16 pass is one full-width MXU GEMM
+        wides = _split_bf16(jnp.concatenate([w_re, w_im], axis=1), parts)
+        kernel = functools.partial(
+            _kernel_depth_scale_concat_split, bit_depth=bit_depth,
+            bitshift=bitshift, log_scaling=log_scaling, half=half, a=a, b=b,
+            parts=parts)
+        wide_spec = pl.BlockSpec((n_in, 2 * half), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[line_spec] + [wide_spec] * parts + [mean_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((n_lines, half), odt),
+            cost_estimate=pl.CostEstimate(
+                flops=(2 * parts - 1) * 4 * n_lines * n_in * half,
+                bytes_accessed=raw2d.size * raw2d.dtype.itemsize
+                + 2 * parts * n_in * half * 2
+                + n_lines * half * jnp.dtype(odt).itemsize,
+                transcendentals=n_lines * half if log_scaling else 0),
+            interpret=interpret,
+        )(raw2d, *wides, mean2)
     if parts:
         # f32-grade fidelity from 2*parts-1 bf16 passes per GEMM (see
         # _dot_split); Mosaic cannot legalize lax.Precision.HIGH and the

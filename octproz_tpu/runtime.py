@@ -45,7 +45,12 @@ from .plugins import ExtensionManager
 
 @dataclasses.dataclass
 class ThroughputStats:
-    """One 5-second metrics window (processing.cpp:198-204)."""
+    """One 5-second metrics window (processing.cpp:198-204).
+
+    ``mb_per_s``/``buffer_mb`` are CONTAINER bytes (uint16 samples — the
+    reference's numbers); ``wire_mb_per_s``/``wire_mb`` are the bytes that
+    actually crossed the host->device link, which differ under the
+    packed-12 wire (1.5 B/sample, 25 % less)."""
 
     buffers_per_s: float = 0.0
     bscans_per_s: float = 0.0
@@ -53,22 +58,33 @@ class ThroughputStats:
     volumes_per_s: float = 0.0
     mb_per_s: float = 0.0
     buffer_mb: float = 0.0
+    wire_mb_per_s: float = 0.0
+    wire_mb: float = 0.0
     buffers_processed: int = 0
 
     def info_line(self) -> str:
+        wire = (f" ({self.wire_mb_per_s:.0f} MB/s wire)"
+                if self.wire_mb != self.buffer_mb else "")
         return (f"{self.volumes_per_s:.1f} volumes/s, "
                 f"{self.buffers_per_s:.0f} buffers/s ({self.buffer_mb:.1f} MB), "
                 f"{self.bscans_per_s:.0f} B-scans/s, "
                 f"{self.ascans_per_s / 1e3:.0f} kHz A-scans, "
-                f"{self.mb_per_s:.0f} MB/s")
+                f"{self.mb_per_s:.0f} MB/s{wire}")
 
 
 class ThroughputMeter:
-    """Windowed throughput counter (reference: 5 s info-box updates)."""
+    """Windowed throughput counter (reference: 5 s info-box updates).
 
-    def __init__(self, acq, window_s: float = 5.0):
+    ``wire_bytes_per_buffer``: bytes per buffer on the host->device link
+    (defaults to the container size; the packed-12 wire passes its smaller
+    actual byte count so link metrics are honest, ADVICE r4)."""
+
+    def __init__(self, acq, window_s: float = 5.0,
+                 wire_bytes_per_buffer: Optional[int] = None):
         self._acq = acq
         self._window_s = window_s
+        self._wire_bytes = (acq.bytes_per_buffer if wire_bytes_per_buffer
+                            is None else wire_bytes_per_buffer)
         self._count = 0
         self._t0: Optional[float] = None
         self.total_buffers = 0
@@ -87,6 +103,7 @@ class ThroughputMeter:
         acq = self._acq
         bps = self._count / dt
         buffer_mb = acq.bytes_per_buffer / 1e6
+        wire_mb = self._wire_bytes / 1e6
         stats = ThroughputStats(
             buffers_per_s=bps,
             bscans_per_s=bps * acq.bscans_per_buffer,
@@ -94,6 +111,8 @@ class ThroughputMeter:
             volumes_per_s=bps / max(acq.buffers_per_volume, 1),
             mb_per_s=bps * buffer_mb,
             buffer_mb=buffer_mb,
+            wire_mb_per_s=bps * wire_mb,
+            wire_mb=wire_mb,
             buffers_processed=self.total_buffers,
         )
         self._count = 0
@@ -344,7 +363,11 @@ class StreamingEngine:
             from .io.volume import VolumeAssembler
 
             self.assembler = VolumeAssembler(model.acq, on_volume=on_volume)
-        self.meter = ThroughputMeter(model.acq, metrics_window_s)
+        wire_bytes = (model.acq.samples_per_buffer * 3 // 2
+                      if wire_format == "packed12"
+                      else model.acq.bytes_per_buffer)
+        self.meter = ThroughputMeter(model.acq, metrics_window_s,
+                                     wire_bytes_per_buffer=wire_bytes)
         self.running = False
         self._stop_requested = threading.Event()
         self._quantize = jax.jit(
@@ -599,11 +622,22 @@ class StreamingEngine:
                 buffer_nr = (processed_count + len(chunk_raws)) % bufs_per_vol
 
                 # raw-side subscribers get the host buffer before upload
-                # (processing.cpp:182 emit rawData)
+                # (processing.cpp:182 emit rawData).  The raw RECORDER keeps
+                # the wire bytes verbatim (the honest record of what the
+                # digitizer delivered), but raw-data EXTENSIONS expect
+                # sample-valued arrays — under the packed-12 wire they must
+                # see unpacked samples or their statistics are silently
+                # computed on pack bytes (ADVICE r4).
                 if self.raw_recorder.recording:
                     self.raw_recorder.record_buffer(raw, buffer_nr)
                 if want_raw_fanout():
-                    self.extensions.feed_raw(np.asarray(raw), acq, buffer_nr)
+                    host_raw = np.asarray(raw)
+                    if self.wire_format == "packed12":
+                        from . import native as _native
+                        host_raw = _native.unpack_uint12(
+                            host_raw.reshape(-1),
+                            acq.samples_per_buffer).reshape(acq.buffer_shape)
+                    self.extensions.feed_raw(host_raw, acq, buffer_nr)
 
                 if self.dispatch_chunk > 1:
                     chunk_raws.append(dev if isinstance(dev, jax.Array)

@@ -499,6 +499,39 @@ def test_scale_kernel_tuning_variants_match(rng, knobs):
     assert psnr > 60.0, f"{knobs}: PSNR {psnr:.1f} dB"
 
 
+@pytest.mark.parametrize("precision", ["high", "highest"])
+def test_scale_kernel_concat_split_matches(rng, precision):
+    """fold_concat composed with the multi-pass precision split
+    (_kernel_depth_scale_concat_split): one wide (n_in, 2*half) GEMM per
+    bf16 pass must agree with the two-half-GEMM split kernel to float32
+    accumulation tolerance (the decomposition commutes with the re|im
+    concatenation, so the math is identical term by term)."""
+    import importlib
+    fp = importlib.import_module("octproz_tpu.pallas.fused_prep")
+
+    cfg = ProcConfig(bitshift=True, resampling=True,
+                     interpolation=Interpolation.CUBIC,
+                     windowing=True, dispersion=True, fpn_mode=FpnMode.OFF,
+                     log_scaling=True, fft_via_matmul=True,
+                     matmul_precision=precision)
+    curves = curves_mod.make_curves(
+        ACQ, cfg, resample_coeffs=(0.0, ACQ.samples_per_line - 1.0, 10.0, -4.0),
+        dispersion_coeffs=(0.0, 0.0, 8.0, 0.0))
+    raw = jnp.asarray(_raw(rng))
+    mean2 = jnp.zeros((2, ACQ.output_ascan_length), jnp.float32)
+
+    def run(c):
+        return np.asarray(fp.fused_depth_scale(
+            raw, curves.depth_op_re, curves.depth_op_im, mean2, ACQ, c,
+            interpret=True), np.float64)
+
+    base = run(cfg)
+    got = run(dataclasses.replace(cfg, fold_concat=True))
+    np.testing.assert_array_equal(np.isfinite(base), np.isfinite(got))
+    fin = np.isfinite(base)
+    np.testing.assert_allclose(got[fin], base[fin], atol=1e-5, rtol=1e-5)
+
+
 def test_invalid_config_values_raise():
     """fold_backend and the ladder/knob fields are validated at config
     construction (not at trace time)."""

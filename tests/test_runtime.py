@@ -614,6 +614,52 @@ def test_packed12_wire_format_matches_uint16_wire():
         np.testing.assert_array_equal(a, d)
 
 
+def test_packed12_raw_fanout_is_unpacked():
+    """Raw-data extensions must see SAMPLE-valued arrays under the
+    packed-12 wire, not pack bytes (ADVICE r4: SignalMonitor statistics on
+    pack bytes were silently wrong); the raw recorder keeps the wire bytes
+    verbatim.  The engine's wire metrics must also report actual link
+    bytes (1.5 B/sample)."""
+    from octproz_tpu import native
+
+    rng = np.random.default_rng(6)
+    bufs = [rng.integers(0, 4096, ACQ.buffer_shape).astype(np.uint16)
+            for _ in range(2)]
+
+    class RawCollector(Extension):
+        name = "rawcollector"
+        wants_raw_data = True
+
+        def __init__(self):
+            super().__init__()
+            self.buffers = []
+
+        def raw_data_received(self, buffer, bit_depth, spl, apb, bpb, bpv,
+                              nr):
+            self.buffers.append(np.array(buffer))
+
+    class PackedSource:
+        def buffers(self):
+            for b in bufs:
+                yield native.pack_uint12(b.reshape(-1))
+
+    ext = RawCollector()
+    exts = ExtensionManager()
+    exts.add(ext)
+    ext.activate()
+    model = FdOctModel(ACQ, CFG,
+                       resample_coeffs=(0.0, ACQ.samples_per_line - 1.0,
+                                        0.0, 0.0))
+    eng = StreamingEngine(model, PackedSource(), extensions=exts,
+                          wire_format="packed12")
+    assert eng.meter._wire_bytes == ACQ.samples_per_buffer * 3 // 2
+    assert eng.run() == 2
+    assert len(ext.buffers) == 2
+    for got, want in zip(ext.buffers, bufs):
+        assert got.shape == ACQ.buffer_shape
+        np.testing.assert_array_equal(got, want)
+
+
 def test_stop_interrupts_run_while_upload_is_wedged():
     """engine.stop() must end the run loop even when the upload thread is
     wedged inside device_put (the tunnel hang case): feeder.get() honors
