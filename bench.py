@@ -20,6 +20,13 @@ Measurements in the single printed JSON line:
 * ``ladder`` — the fidelity ladder timed on hardware: MHz + FPN-off
   float64-oracle PSNR for matmul_precision=high (3-pass) and highest
   (5-pass).
+* ``in_bound`` — the IN-SNR-BOUND validated row (VERDICT r5 #1): rate AND
+  fidelity of the reference-grade operating point in one object, >=2
+  independent hardware runs of the "high" split rung, which must clear the
+  >=10 MHz target while its oracle PSNR clears the 50.6 dB acquisition
+  quantization-noise bound (FIDELITY SNR bound; the reference's own
+  headline is full-chain and fidelity-honest,
+  performance/v180/performance_v180.md:5-14).
 * ``oracle_psnr_db`` — every recorded rate passed its rung's fidelity gate
   vs the float64 NumPy oracle (FPN off).
 
@@ -43,6 +50,13 @@ import numpy as np
 
 
 BASELINE_MHZ = 3.40
+
+#: Acquisition quantization-noise SNR bound (dB) the in-bound row's oracle
+#: PSNR must clear (FIDELITY artifact: display-domain PSNR between the
+#: float64 oracle on 12-bit codes and on the analog interferogram).
+IN_BOUND_SNR_DB = 50.6
+#: BASELINE.json rate target for the in-bound row (MHz A-scans/s).
+IN_BOUND_TARGET_MHZ = 10.0
 
 
 def _fold_flops_per_buffer(acq) -> int:
@@ -758,6 +772,49 @@ def main() -> None:
                 "golden_psnr_db": r.get("golden_psnr_db"),
             })
         record["ladder"] = ladder
+
+        # Annex 3: the IN-SNR-BOUND validated row — rate AND fidelity as
+        # one first-class object (VERDICT r5 #1).  The "high" rung (manual
+        # 3-pass bf16 operand split, hardware-measured ~1e-5 operand error)
+        # is the reference-grade operating point: ~110 dB FPN-off oracle
+        # PSNR vs the 50.6 dB bound at ~30 MHz (3x the 10 MHz target, so
+        # even a degraded tunnel keeps it in bound).  >=2 independent runs
+        # (fresh subprocess each, same tunnel-revival protocol as the
+        # headline); `value` is the WORST run — the conservative claim.
+        in_spec = os.environ.get("OCTPROZ_BENCH_INBOUND_SPEC",
+                                 "mega:16:float32:high")
+        runs, detail = [], None
+        for entry in ladder:
+            if entry and entry.get("spec") == in_spec and entry.get("value"):
+                runs.append(entry)  # reuse the ladder's run as run #1
+        while len(runs) < 2:
+            r = (run_attempt(dict(os.environ,
+                                  OCTPROZ_BENCH_ATTEMPT=in_spec))
+                 if wait_tunnel(600.0) else None)
+            if r is None:
+                break
+            runs.append(r)
+        if runs:
+            detail = min(runs, key=lambda r: r["value"])
+            value = detail["value"]
+            oracle_db = detail.get("oracle_psnr_db")
+            record["in_bound"] = {
+                "spec": in_spec,
+                "runs_mhz": [r["value"] for r in runs],
+                "value": value,
+                "unit": "MHz",
+                "target_mhz": IN_BOUND_TARGET_MHZ,
+                "snr_bound_db": IN_BOUND_SNR_DB,
+                "oracle_psnr_db": oracle_db,
+                "golden_psnr_db": detail.get("golden_psnr_db"),
+                "vs_baseline": round(value / BASELINE_MHZ, 3),
+                "meets_target": bool(
+                    len(runs) >= 2 and value >= IN_BOUND_TARGET_MHZ
+                    and oracle_db is not None
+                    and oracle_db >= IN_BOUND_SNR_DB),
+            }
+        else:
+            record["in_bound"] = None
 
     print(json.dumps(record))
 

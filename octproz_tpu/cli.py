@@ -194,6 +194,17 @@ def _add_proc_args(p: argparse.ArgumentParser) -> None:
     g.add_argument("--mesh", default=None, metavar="B[,A]",
                    help="shard the step over a (bscan, ascan) device mesh, "
                         "e.g. --mesh 4 or --mesh 4,2 (parallel/sharding.py)")
+    g.add_argument("--plugins", action="append", default=None,
+                   metavar="PKG.MOD[:FACTORY]",
+                   help="load a third-party plugin (repeatable): an "
+                        "Extension subclass/instance or a factory(ctx) "
+                        "registering extensions/acquisition systems "
+                        "(QPluginLoader analog, octprozapp.cpp:99-174); "
+                        "also loaded: [plugins] load= settings key and "
+                        "installed 'octproz_tpu.plugins' entry points")
+    g.add_argument("--no-entry-point-plugins", action="store_true",
+                   default=False,
+                   help="skip installed entry-point plugin discovery")
 
 
 def _load_bundle(args):
@@ -207,18 +218,28 @@ def _load_bundle(args):
     return from_settings(SettingsManager(args.settings))
 
 
-def _maybe_system_source(args, bundle):
-    """Activate a registered acquisition system when the input spec is
-    ``system:NAME`` (the SystemChooser analog for the CLI); else None.
+class _SettingsGroupMap:
+    """Lazy group lookup for PluginContext.settings (per-plugin settings
+    round-trip, plugin.h:43-45)."""
 
-    Systems read their device settings from the ``[system:NAME]`` group of
-    the ``--settings`` INI (storeSettings/settingsLoaded round-trip,
-    plugin.h:43-45)."""
-    spec = getattr(args, "input", None)
-    if not (isinstance(spec, str) and spec.startswith("system:")):
-        return None
+    def __init__(self, manager):
+        self._manager = manager
+
+    def get(self, key, default=None):
+        if self._manager is None:
+            return default
+        return self._manager.get_group(key) or default
+
+
+def _plugin_context(args, bundle):
+    """The session's plugin surface: extension manager + acquisition-system
+    registry holding the built-ins plus every runtime-loaded plugin
+    (--plugins flags, [plugins] load= settings key, installed
+    octproz_tpu.plugins entry points) — the QPluginLoader discovery pass
+    (octprozapp.cpp:99-174) as module-path + entry-point loading."""
     from .io import phytooct
     from .io.systems import SystemRegistry
+    from .plugins import PluginContext, load_plugins
 
     manager = None
     if getattr(args, "settings", None):
@@ -227,7 +248,36 @@ def _maybe_system_source(args, bundle):
         manager = SettingsManager(args.settings)
     registry = SystemRegistry(manager)
     phytooct.register(registry)
-    return registry.activate(spec.split(":", 1)[1])
+    ctx = PluginContext(systems=registry,
+                        settings=_SettingsGroupMap(manager))
+    specs = list(bundle.plugins) + list(getattr(args, "plugins", None) or [])
+    load_plugins(specs, ctx,
+                 entry_points=not getattr(args, "no_entry_point_plugins",
+                                          False))
+    # loaded extensions start ACTIVE: a headless session has no sidebar
+    # toggle, and an extension someone explicitly loaded should observe the
+    # stream (deactivation remains available over the control API)
+    for ext in ctx.extensions.extensions.values():
+        ext.activate()
+    for kind, name in ctx.loaded:
+        print(f"plugin loaded: {kind} '{name}'", file=sys.stderr)
+    return ctx
+
+
+def _maybe_system_source(args, bundle, ctx=None):
+    """Activate a registered acquisition system when the input spec is
+    ``system:NAME`` (the SystemChooser analog for the CLI); else None.
+
+    Systems read their device settings from the ``[system:NAME]`` group of
+    the ``--settings`` INI (storeSettings/settingsLoaded round-trip,
+    plugin.h:43-45).  ``ctx`` (a PluginContext) supplies the registry so
+    runtime-loaded system plugins are activatable."""
+    spec = getattr(args, "input", None)
+    if not (isinstance(spec, str) and spec.startswith("system:")):
+        return None
+    if ctx is None:
+        ctx = _plugin_context(args, bundle)
+    return ctx.systems.activate(spec.split(":", 1)[1])
 
 
 def _build_config(args, bundle=None, system=None):
@@ -364,7 +414,8 @@ def cmd_process(args) -> int:
     from .viz import builtin_lut, save_bscan_png, save_enface_png
 
     bundle = _load_bundle(args)
-    system = _maybe_system_source(args, bundle)
+    ctx = _plugin_context(args, bundle)
+    system = _maybe_system_source(args, bundle, ctx)
     acq, cfg, model_kw = _build_config(args, bundle, system=system)
     model = FdOctModel(acq, cfg, **model_kw)
     if system is not None:
@@ -443,7 +494,8 @@ def cmd_replay(args) -> int:
     from .utils.console import MessageConsole
 
     bundle = _load_bundle(args)
-    system = _maybe_system_source(args, bundle)
+    ctx = _plugin_context(args, bundle)
+    system = _maybe_system_source(args, bundle, ctx)
     acq, cfg, model_kw = _build_config(args, bundle, system=system)
     model = FdOctModel(acq, cfg, **model_kw)
     # wire-format / source-framing consistency (both directions: packed
@@ -501,6 +553,7 @@ def cmd_replay(args) -> int:
 
     try:
         eng = StreamingEngine(model, src, stream_to_host=stream,
+                              extensions=ctx.extensions,
                               streaming_skip=skip, on_info=console.info,
                               metrics_window_s=args.metrics_window,
                               dispatch_chunk=args.chunk,

@@ -137,6 +137,10 @@ class SettingsBundle:
     source_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
     streaming: Dict[str, Any] = dataclasses.field(default_factory=dict)
     recording: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    #: plugin specs from the [plugins] group's ``load`` key
+    #: ("pkg.mod:factory, other.mod" — the settings-file analog of the
+    #: reference's plugins directory scan, octprozapp.cpp:99-174)
+    plugins: list = dataclasses.field(default_factory=list)
 
 
 def _parse_table(sm: SettingsManager, group: str, table, out: Dict[str, Any]):
@@ -169,6 +173,12 @@ def from_settings(sm: SettingsManager) -> SettingsBundle:
     _parse_table(sm, TPU, _TPU_TABLE, b.cfg_kwargs)
     _parse_table(sm, STREAM, _STREAM_TABLE, b.streaming)
     _parse_table(sm, REC, _REC_TABLE, b.recording)
+
+    # [plugins] load = pkg.mod:factory, other.mod  (runtime plugin loading)
+    plug = sm.get_group("plugins")
+    if "load" in plug:
+        b.plugins = [s.strip() for s in str(plug["load"]).replace(";", ",")
+                     .split(",") if s.strip()]
 
     proc = sm.get_group(PROC)
     if "resampling_interpolation" in proc:
