@@ -97,6 +97,13 @@ class PeakDetectorExtension(Extension):
         line = _selected_line(buffer, bit_depth, self.bscan, self.ascan)
         self.last_peaks = find_peaks(line, self.threshold, self.max_peaks)
 
+    def get_output(self):
+        if not self.last_peaks:
+            return None
+        return {"scalars": {"n_peaks": len(self.last_peaks),
+                            "bscan": self.bscan, "ascan": self.ascan},
+                "table": [dataclasses.asdict(p) for p in self.last_peaks]}
+
 
 @dataclasses.dataclass
 class PsfFit:
@@ -154,3 +161,8 @@ class AxialPsfAnalyzerExtension(Extension):
     def processed_data_received(self, buffer, bit_depth, spl, apb, bpb, bpv, nr):
         line = _selected_line(buffer, bit_depth, self.bscan, self.ascan)
         self.last_fit = fit_axial_psf(line, half_window=self.half_window)
+
+    def get_output(self):
+        if self.last_fit is None:
+            return None
+        return {"scalars": dataclasses.asdict(self.last_fit)}

@@ -54,6 +54,14 @@ class ImageStatisticsExtension(Extension):
             mean=float(data.mean()), std=float(data.std()),
             histogram=counts, bin_edges=edges)
 
+    def get_output(self):
+        if self.last is None:
+            return None
+        s = self.last
+        return {"scalars": {"minimum": s.minimum, "maximum": s.maximum,
+                            "mean": s.mean, "std": s.std},
+                "series": {"histogram": s.histogram.tolist()}}
+
 
 @dataclasses.dataclass
 class SignalLevel:
@@ -87,3 +95,8 @@ class SignalMonitorExtension(Extension):
             mean=float(data.mean()),
             saturation_fraction=float(np.mean(data >= full_scale)),
             zero_fraction=float(np.mean(data == 0)))
+
+    def get_output(self):
+        if self.last is None:
+            return None
+        return {"scalars": dataclasses.asdict(self.last)}

@@ -78,6 +78,23 @@ class Extension(Plugin):
                                 current_buffer_nr: int) -> None:
         pass
 
+    def get_output(self) -> Optional[Dict[str, Any]]:
+        """Latest result for generic output hosting (the headless analog of
+        ``Extension::getWidget``, extension.h:40-43,75-85: ANY extension
+        gets a display surface with zero viewer edits).
+
+        Return None (no output yet) or a dict of any of:
+
+        * ``scalars``: {name: number|str}        -> key/value readout
+        * ``series``:  {name: 1-D list}          -> bar/line mini-plot
+        * ``table``:   [{col: val, ...}, ...]    -> monospace rows
+        * ``image``:   2-D list of 0..1 floats   -> grayscale pane
+        * ``text``:    str                       -> preformatted block
+
+        Served at ``/extension.json?name=...`` and rendered generically by
+        the live viewer (viz/live.py)."""
+        return None
+
 
 class MessageBus:
     """Named inter-plugin command routing (pluginmessagebus.cpp:28-56)."""

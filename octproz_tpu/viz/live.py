@@ -66,7 +66,19 @@ _PAGE = """<!doctype html>
     dblclick: marker, r: rotate</div></div>
  <div class="view"><canvas id="enfaceC" width="420" height="420"></canvas>
    <div class="bar" id="enfaceBar">en-face</div></div>
- <img id="volume" alt="volume" style="display:none">
+ <div class="view" id="volPane" style="display:none">
+  <img id="volume" alt="volume" draggable="false" style="cursor:grab">
+  <div class="bar">volume &#8212; drag: rotate</div>
+  <div class="bar">mode <select id="vmode"></select>
+   thr <input id="vthr"> gamma <input id="vgamma">
+   step <input id="vstep">
+   lut <select id="vlut"><option>gray</option><option>fire</option>
+    <option>hotter</option><option>ice</option><option>blue</option>
+    <option>deep_blue</option><option>deep_red</option>
+    <option>six_shades</option><option>sixteen_colors</option>
+    <option>depth_colors</option></select>
+   <button onclick="applyRender()">apply</button></div>
+ </div>
  <img id="camera" alt="camera" style="display:none">
  <img id="bscan" style="display:none"> <img id="enface" style="display:none">
 </div>
@@ -113,8 +125,7 @@ _PAGE = """<!doctype html>
   <button onclick="setDisplay()">apply</button></div>
  <div id="ctlmsg"></div></div>
 <div id="exts"><h3>extensions</h3><div id="extlist"></div>
- <canvas id="hist" width="420" height="120" style="display:none"></canvas>
- <div id="peaks" style="font-family:monospace"></div></div>
+ <div id="extpanes"></div></div>
 <script>
 function val(id){ return document.getElementById(id).value; }
 async function post(obj){
@@ -251,6 +262,64 @@ function makeView(cname, iname){
   return v;
 }
 const bview = makeView('bscanC','bscan'), eview = makeView('enfaceC','enface');
+// ---- interactive 3-D volume view (GLWindow3D analog: trackball rotation
+//      + per-frame mode uniforms via POST /render) ----
+const vstate = {yaw: 0.5, pitch: 0.4, seeded: false, posting: false};
+async function postRender(obj){
+  if (vstate.posting) return null;       // one in-flight raycast at a time
+  vstate.posting = true;
+  try {
+    const r = await (await fetch('/render', {method:'POST',
+      body: JSON.stringify(obj)})).json();
+    if (r.reply){ vstate.yaw = r.reply.yaw; vstate.pitch = r.reply.pitch;
+      document.getElementById('volume').src = '/volume.png?' + Date.now(); }
+    return r;
+  } catch(e){ return null; }
+  finally { vstate.posting = false; }
+}
+function applyRender(){
+  postRender({mode: val('vmode'),
+              threshold: parseFloat(val('vthr')) || 0,
+              gamma: parseFloat(val('vgamma')) || 1,
+              step_length: parseFloat(val('vstep')) || 0.02,
+              lut: val('vlut')});
+}
+async function seedRender(){
+  try {
+    const s = await (await fetch('/render.json')).json();
+    const ms = document.getElementById('vmode');
+    ms.innerHTML = '';
+    for (const m of s.modes || []){
+      const o = document.createElement('option');
+      o.value = o.textContent = m; ms.appendChild(o);
+    }
+    ms.value = s.mode;
+    document.getElementById('vthr').value = s.threshold;
+    document.getElementById('vgamma').value = s.gamma;
+    document.getElementById('vstep').value = s.step_length;
+    document.getElementById('vlut').value = s.lut || 'gray';
+    vstate.yaw = s.yaw; vstate.pitch = s.pitch;
+    vstate.seeded = true;
+  } catch(e){}
+}
+(function(){
+  const img = document.getElementById('volume');
+  let drag = null;
+  img.addEventListener('pointerdown', e => { e.preventDefault();
+    drag = {x: e.clientX, y: e.clientY}; img.style.cursor = 'grabbing'; });
+  window.addEventListener('pointerup', () => {
+    if (drag) img.style.cursor = 'grab';
+    drag = null; });
+  window.addEventListener('pointermove', e => {
+    if (!drag) return;
+    const dy = e.clientX - drag.x, dp = e.clientY - drag.y;
+    if (!dy && !dp) return;
+    drag = {x: e.clientX, y: e.clientY};
+    // trackball sensitivity ~0.008 rad/px; pitch clamped near the poles
+    postRender({yaw: vstate.yaw + dy*0.008,
+      pitch: Math.max(-1.5, Math.min(1.5, vstate.pitch + dp*0.008))});
+  });
+})();
 let seeded = false;
 async function seed(){
   try {
@@ -295,26 +364,76 @@ async function refreshExtensions(){
     }
   } catch(e){}
 }
+function fmtNum(v){
+  if (typeof v !== 'number') return String(v);
+  return Number.isInteger(v) ? String(v) : v.toFixed(4);
+}
+// generic extension pane renderer (ExtensionUIManager analog): ANY active
+// extension's get_output() shapes — scalars / series / table / image /
+// text — get a pane with zero viewer edits
 async function showExtensionOutput(name){
   try {
     const r = await (await fetch('/extension.json?name=' + name)).json();
-    if (r.histogram){  // image-statistics pane
-      const c = document.getElementById('hist');
-      c.style.display = ''; const g = c.getContext('2d');
-      g.clearRect(0,0,c.width,c.height);
-      const m = Math.max(...r.histogram, 1);
-      g.fillStyle = '#4a8';
-      r.histogram.forEach((h,i) => {
-        const w = c.width / r.histogram.length;
-        g.fillRect(i*w, c.height*(1-h/m), w-1, c.height*h/m);
-      });
-      g.fillStyle = '#ddd'; g.font = '11px monospace';
-      g.fillText('mean '+r.mean.toFixed(4)+'  sigma '+r.std.toFixed(4)
-        +'  ['+r.minimum.toFixed(3)+', '+r.maximum.toFixed(3)+']', 6, 12);
+    let pane = document.getElementById('pane_' + name);
+    if (!pane){
+      pane = document.createElement('div');
+      pane.id = 'pane_' + name; pane.style.margin = '6px 0';
+      document.getElementById('extpanes').appendChild(pane);
     }
-    if (r.peaks) document.getElementById('peaks').textContent =
-      'peaks: ' + r.peaks.map(p => p.index + '@' +
-        p.value.toFixed(3)).join('  ');
+    pane.innerHTML = '';
+    const head = document.createElement('b');
+    head.textContent = name + '  ';
+    pane.appendChild(head);
+    if (r.error){
+      const e = document.createElement('span');
+      e.style.color = '#f88'; e.textContent = r.error;
+      pane.appendChild(e);
+    }
+    if (r.scalars){
+      const t = document.createElement('span');
+      t.textContent = Object.entries(r.scalars)
+        .map(([k, v]) => k + '=' + fmtNum(v)).join('  ');
+      pane.appendChild(t);
+    }
+    if (r.text){
+      const p = document.createElement('pre');
+      p.textContent = r.text; pane.appendChild(p);
+    }
+    if (r.table && r.table.length){
+      const keys = Object.keys(r.table[0]);
+      const p = document.createElement('pre');
+      p.textContent = [keys.join('  ')].concat(r.table.map(row =>
+        keys.map(k => fmtNum(row[k])).join('  '))).join('\\n');
+      pane.appendChild(p);
+    }
+    for (const [sname, arr] of Object.entries(r.series || {})){
+      if (!Array.isArray(arr) || !arr.length) continue;
+      const c = document.createElement('canvas');
+      c.width = 420; c.height = 100; pane.appendChild(c);
+      const g = c.getContext('2d');
+      const mx = Math.max(...arr), mn = Math.min(Math.min(...arr), 0);
+      const w = c.width / arr.length;
+      g.fillStyle = '#4a8';
+      arr.forEach((h, i) => {
+        const hh = (h - mn) / ((mx - mn) || 1) * (c.height - 14);
+        g.fillRect(i*w, c.height - hh, Math.max(w - 1, 1), hh);
+      });
+      g.fillStyle = '#9ab'; g.font = '10px monospace';
+      g.fillText(sname + '  [' + fmtNum(mn) + ', ' + fmtNum(mx) + ']', 4, 10);
+    }
+    if (r.image && r.image.length){
+      const h = r.image.length, w = r.image[0].length;
+      const c = document.createElement('canvas');
+      c.width = w; c.height = h; c.style.width = '210px';
+      pane.appendChild(c);
+      const g = c.getContext('2d'), im = g.createImageData(w, h);
+      for (let y = 0; y < h; y++) for (let x = 0; x < w; x++){
+        const v = Math.max(0, Math.min(1, r.image[y][x])) * 255;
+        const o = 4*(y*w + x);
+        im.data[o] = im.data[o+1] = im.data[o+2] = v; im.data[o+3] = 255;
+      }
+      g.putImageData(im, 0, 0);
+    }
   } catch(e){}
 }
 async function tick(){
@@ -327,8 +446,11 @@ async function tick(){
     const s = await (await fetch('/stats.json')).json();
     document.getElementById('stats').textContent = s.info || JSON.stringify(s);
     if (s.volume_renders){
-      const v = document.getElementById('volume');
-      v.style.display = ''; v.src = '/volume.png?' + t;
+      document.getElementById('volPane').style.display = '';
+      if (!vstate.seeded) seedRender();
+      // don't fight an in-progress drag for the pane image
+      if (!vstate.posting)
+        document.getElementById('volume').src = '/volume.png?' + t;
     }
     if (s.camera){
       const c = document.getElementById('camera');
@@ -428,6 +550,13 @@ class LiveView:
         self._assembler = None
         self._last_volume_render = 0.0
         self.volume_renders = 0
+        # interactive 3-D view state (trackball + per-frame mode uniforms,
+        # glwindow3d.cpp:266-272,300-360 + controlpanel.h:67-84), driven by
+        # POST /render and drag-to-rotate on the volume pane
+        self._render_state = {"mode": volume_mode, "yaw": 0.5, "pitch": 0.4,
+                              "threshold": 0.25, "gamma": 2.0,
+                              "step_length": 0.02, "lut": lut}
+        self._render_lock = threading.Lock()
         # optional sample-view camera pane (/camera.png)
         self._camera = None
 
@@ -474,6 +603,9 @@ class LiveView:
                 elif path == "/display.json":
                     body = json.dumps(view.display_state()).encode()
                     ctype = "application/json"
+                elif path == "/render.json":
+                    body = json.dumps(view.render_state()).encode()
+                    ctype = "application/json"
                 elif path == "/pixel":
                     # data-cursor readout: value of a displayed pixel
                     body = json.dumps(view.pixel_value(self.path)).encode()
@@ -496,7 +628,7 @@ class LiveView:
 
             def do_POST(self):
                 path = self.path.split("?")[0]
-                if path not in ("/control", "/display"):
+                if path not in ("/control", "/display", "/render"):
                     self.send_error(404)
                     return
                 if path == "/control" and view._controller is None:
@@ -509,6 +641,8 @@ class LiveView:
                         raise ValueError("body must be a json object")
                     if path == "/display":
                         reply = view.set_display(msg)
+                    elif path == "/render":
+                        reply = view.set_render(msg)
                     else:
                         cmd = msg.pop("command", None)
                         reply = view._controller.handle(cmd, msg)
@@ -649,22 +783,75 @@ class LiveView:
     def _render_assembled_volume(self) -> Optional[bytes]:
         """Raycast the assembler's current (possibly partial) volume —
         updateDisplayedVolume + 80 ms-throttled redraw analog
-        (cuda_code.cu:914-941, glwindow3d.cpp:316-323).  Runs on the CPU
-        backend, NOT the session accelerator."""
+        (cuda_code.cu:914-941, glwindow3d.cpp:316-323) — under the LIVE
+        view state (trackball yaw/pitch + per-frame mode uniforms,
+        glwindow3d.cpp:300-360).  Runs on the CPU backend, NOT the session
+        accelerator."""
         from .render import RenderMode, RenderParams, render_volume
 
         try:
-            img = render_volume(
-                self._assembler.volume,
-                RenderParams(mode=RenderMode(self.volume_mode),
-                             step_length=0.02),
-                yaw=0.5, pitch=0.4,
-                out_shape=(self.volume_size, self.volume_size),
-                lut=self._lut,
-                device=self._cpu_device())
+            with self._lock:
+                st = dict(self._render_state)
+            lut = (builtin_lut(st["lut"]) if st.get("lut")
+                   and st["lut"] != "gray" else None)
+            with self._render_lock:  # one raycast at a time (HTTP + engine)
+                img = render_volume(
+                    self._assembler.volume,
+                    RenderParams(mode=RenderMode(st["mode"]),
+                                 step_length=float(st["step_length"]),
+                                 threshold=float(st["threshold"]),
+                                 gamma=float(st["gamma"])),
+                    yaw=float(st["yaw"]), pitch=float(st["pitch"]),
+                    out_shape=(self.volume_size, self.volume_size),
+                    lut=lut,
+                    device=self._cpu_device())
             return _encode_png(to_uint8(np.clip(img, 0.0, 1.0)))
         except Exception:  # rendering must never kill the stream
             return None
+
+    def render_state(self) -> dict:
+        from .render import RenderMode
+
+        with self._lock:
+            st = dict(self._render_state)
+        st["modes"] = [m.value for m in RenderMode]
+        st["renders"] = self.volume_renders
+        return st
+
+    def set_render(self, msg: dict) -> dict:
+        """POST /render {mode, yaw, pitch, threshold, gamma, step_length,
+        lut}: the live 3-D control surface (ControlPanel3D + trackball
+        analog, controlpanel.h:67-84, glwindow3d.cpp:266-272).  Re-renders
+        immediately from the current assembled volume so interaction is
+        responsive between buffer arrivals."""
+        from .render import RenderMode
+
+        updates = {}
+        if "mode" in msg:
+            updates["mode"] = RenderMode(str(msg["mode"])).value
+        if "lut" in msg:
+            lut = msg["lut"] or None
+            if lut:
+                builtin_lut(lut)  # validate the name loudly
+            updates["lut"] = lut
+        for key in ("yaw", "pitch", "threshold", "gamma", "step_length"):
+            if key in msg:
+                updates[key] = float(msg[key])
+        if "step_length" in updates:
+            # a tiny step length makes the CPU raycast arbitrarily slow;
+            # clamp to something interactive
+            updates["step_length"] = min(max(updates["step_length"], 0.004),
+                                         0.2)
+        with self._lock:
+            self._render_state.update(updates)
+        if self._assembler is not None:
+            png = self._render_assembled_volume()
+            if png is not None:
+                with self._lock:
+                    self._volume_png = png
+                    self.volume_renders += 1
+                    self._stats["volume_renders"] = self.volume_renders
+        return {"reply": self.render_state()}
 
     # -- display manipulation + data-cursor surface (GLWindow2D analog:
     #    frame selection ControlPanel2D, cursor readout, scale-bar physical
@@ -715,8 +902,12 @@ class LiveView:
 
     def extension_output(self, path: str):
         """GET /extension.json?name=... — the latest result of an active
-        extension, JSON-serialized (the headless stand-in for the
-        reference's per-extension GUI surface, extensionuimanager.cpp)."""
+        extension through the generic ``Extension.get_output()`` protocol
+        (the headless ``ExtensionUIManager`` analog, extensionuimanager.cpp
+        + extension.h:40-43): ANY extension that implements get_output gets
+        a viewer pane with zero viewer edits; extensions predating the
+        protocol fall back to attr sniffing classified into the same
+        scalars/series/table shapes."""
         from urllib.parse import parse_qs, urlparse
 
         if self._engine is None:
@@ -727,19 +918,48 @@ class LiveView:
         if ext is None:
             return None
         out = {"name": name, "active": ext.active}
+        result = None
+        get = getattr(ext, "get_output", None)
+        if callable(get):
+            try:
+                result = get()
+            except Exception as e:  # a broken pane must not 500 the viewer
+                out["error"] = f"get_output failed: {e}"
+        if result is None and "error" not in out:
+            result = self._legacy_output(ext)
+        for k, v in (result or {}).items():
+            out[k] = _jsonable(v)
+        return out
+
+    @staticmethod
+    def _legacy_output(ext):
+        """Classify last / last_peaks / last_fit attributes of extensions
+        without get_output into the generic output shapes."""
+        scalars, series, table = {}, {}, None
         for attr in ("last", "last_peaks", "last_fit"):
             val = getattr(ext, attr, None)
             if val is None:
                 continue
-            if isinstance(val, list):  # peak list
-                out["peaks"] = [_jsonable(p) for p in val]
-            else:
-                d = _jsonable(val)
-                if isinstance(d, dict):
-                    out.update(d)
-                else:
-                    out[attr] = d
-        return out
+            if isinstance(val, list):
+                table = [_jsonable(p) for p in val]
+                continue
+            d = _jsonable(val)
+            if isinstance(d, dict):
+                for k, v in d.items():
+                    if isinstance(v, list):
+                        series[k] = v
+                    elif isinstance(v, (int, float, str, bool)):
+                        scalars[k] = v
+            elif isinstance(d, (int, float, str, bool)):
+                scalars[attr] = d
+        out = {}
+        if scalars:
+            out["scalars"] = scalars
+        if series:
+            out["series"] = series
+        if table is not None:
+            out["table"] = table
+        return out or None
 
     def update_stats(self, stats) -> None:
         with self._lock:
