@@ -79,23 +79,42 @@ def unpack_uint12_device(packed: jnp.ndarray, n_samples: int) -> jnp.ndarray:
             f"count to be a multiple of 256 (got {n_samples}); the (N, 3) "
             f"fallback shape is a ~42x tiling blowup on TPU")
     if n_samples % 256 == 0:
-        b = packed.reshape(-1, 384).astype(jnp.int32)   # 256 samples/row
-        b0, b1, b2 = b[:, 0::3], b[:, 1::3], b[:, 2::3]  # (rows, 128)
-        s0 = jnp.bitwise_or(b0, jnp.left_shift(
-            jnp.bitwise_and(b1, 0x0F), 8))
-        s1 = jnp.bitwise_or(jnp.right_shift(b1, 4),
-                            jnp.left_shift(b2, 4))
-        cat = jnp.concatenate([s0, s1], axis=1)          # (rows, 256)
-        k = jnp.arange(256)
-        interleave = jnp.where(k % 2 == 0, k // 2, 128 + k // 2)
-        out = jnp.take(cat, interleave, axis=1)
-        return out.reshape(n_samples).astype(jnp.uint16)
+        return unpack_uint12_rows(packed).reshape(n_samples)
     b = packed.reshape(-1, 3).astype(jnp.int32)
     s0 = jnp.bitwise_or(b[:, 0], jnp.left_shift(
         jnp.bitwise_and(b[:, 1], 0x0F), 8))
     s1 = jnp.bitwise_or(jnp.right_shift(b[:, 1], 4),
                         jnp.left_shift(b[:, 2], 4))
     return jnp.stack([s0, s1], axis=1).reshape(n_samples).astype(jnp.uint16)
+
+
+def unpack_uint12_rows(packed: jnp.ndarray) -> jnp.ndarray:
+    """Leading-axes-preserving 12-bit unpack: uint8 (..., nbytes) ->
+    uint16 (..., nbytes * 2 // 3), nbytes a multiple of 384 (256 samples).
+
+    Every operation touches ONLY the trailing byte axis, so a wire buffer
+    shaped (bscans, ascans, bytes_per_line) and GSPMD-sharded on its
+    leading axes unpacks with zero cross-device communication — packing is
+    line-local, which is what makes the packed-12 wire shardable on B-scan
+    boundaries (the mesh streaming path, models/fdoct.put_packed_buffer).
+    Same lane-aligned (rows, 384)-block formulation and int32 shift
+    discipline as :func:`unpack_uint12_device` (whose %256 branch delegates
+    here)."""
+    *lead, nbytes = packed.shape
+    if nbytes % 384:
+        raise ValueError(
+            f"row unpack needs the byte count to be a multiple of 384 "
+            f"(256 samples), got {nbytes}")
+    rows = nbytes // 384
+    b = packed.reshape(*lead, rows, 384).astype(jnp.int32)
+    b0, b1, b2 = b[..., 0::3], b[..., 1::3], b[..., 2::3]  # (..., rows, 128)
+    s0 = jnp.bitwise_or(b0, jnp.left_shift(jnp.bitwise_and(b1, 0x0F), 8))
+    s1 = jnp.bitwise_or(jnp.right_shift(b1, 4), jnp.left_shift(b2, 4))
+    cat = jnp.concatenate([s0, s1], axis=-1)               # (..., rows, 256)
+    k = jnp.arange(256)
+    interleave = jnp.where(k % 2 == 0, k // 2, 128 + k // 2)
+    out = jnp.take(cat, interleave, axis=-1)
+    return out.reshape(*lead, rows * 256).astype(jnp.uint16)
 
 
 def unpack_uint12_packed(raw_bytes: np.ndarray, n_samples: int) -> np.ndarray:

@@ -177,6 +177,27 @@ def feed_from_local(raw_local: np.ndarray, acq: AcqParams,
         sharding, np.ascontiguousarray(raw_local), global_shape)
 
 
+def feed_wire_from_local(wire_local: np.ndarray, acq: AcqParams,
+                         mesh: Mesh, bytes_per_line: int) -> jax.Array:
+    """Commit this host's packed-12 WIRE bytes as its shard of the global
+    wire buffer — the packed analog of :func:`feed_from_local` (packing is
+    line-local, so a B-scan block's wire bytes are self-contained).
+
+    ``wire_local``: uint8, either flat or (local_bscans, ascans,
+    bytes_per_line).  Returns the GLOBAL (bscans, ascans, bytes_per_line)
+    uint8 array sharded per ``buffer_pspec``.
+    """
+    sharding = NamedSharding(mesh, buffer_pspec(mesh))
+    start, stop = local_bscan_range(acq, mesh)
+    local_shape = (stop - start, acq.ascans_per_bscan, bytes_per_line)
+    global_shape = (acq.bscans_per_buffer,) + local_shape[1:]
+    wire_local = np.asarray(wire_local, np.uint8).reshape(local_shape)
+    if jax.process_count() == 1:
+        return jax.device_put(wire_local, sharding)
+    return jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(wire_local), global_shape)
+
+
 def local_block(arr: jax.Array) -> Tuple[np.ndarray, int]:
     """Assemble this process's addressable shards of a dim0-sharded global
     array into one contiguous host block.
