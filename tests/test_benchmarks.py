@@ -42,6 +42,21 @@ def test_gloo_anchor_measured_ratio():
     assert "measured" in rec["note"]
 
 
+def test_e2e_soak_cycle_cpu_small():
+    """One soak cycle (scripts/e2e_soak.py --cycle): symmetric
+    upload/engine/upload windows in one process, ratio recorded
+    (VERDICT r4 weak #2 instrument)."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "e2e_soak.py"),
+         "--cycle", "--small", "--window-s", "4", "--chunk", "4"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["engine_buffers"] > 0 and rec["upload_buffers"] > 0
+    assert rec["upload_before_mhz"] > 0 and rec["upload_after_mhz"] > 0
+    assert rec["ratio"] is not None and rec["ratio"] > 0
+
+
 def test_e2e_harness_engine_measured_cpu_small():
     """bench._run_e2e drives the real StreamingEngine (pipelined-H2D
     feeder + chunked dispatch) and reports engine-measured rates plus the
