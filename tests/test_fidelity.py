@@ -201,3 +201,8 @@ def test_snr_bound_anchor_small_geometry(tmp_path):
     # the CLI gate ran against the saved pair and passed at the bound
     assert report["cli_compare"]["passed"]
     assert os.path.exists(report["pair"]["oracle"])
+    # FPN-ON rungs (r5): with the tie-banded argmin the end-to-end chain
+    # carries the rung's grade — highest stays within the bound WITH FPN,
+    # where the r4 exact-argmin chaos capped it far below
+    assert report["rungs_fpn_on"]["highest"]["within_reference_snr_bound"]
+    assert report["rungs_fpn_on"]["highest"]["psnr_db"] > bound + 10
