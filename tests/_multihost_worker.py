@@ -124,6 +124,27 @@ def main() -> None:
     n = eng.run()
     assert n == 3, n
     assert got and got[0].shape[0] == hi - lo
+
+    # --- packed-12 wire across real processes ----------------------------
+    # each host commits ONLY its own B-scan block's wire bytes
+    # (feed_wire_from_local); the shard-local unpack must reproduce the
+    # exact sample values (line-local packing -> zero collectives).
+    from octproz_tpu import native
+    from octproz_tpu.ops.convert import unpack_uint12_rows
+    from octproz_tpu.parallel.multihost import feed_wire_from_local
+
+    pacq = AcqParams(samples_per_line=256, ascans_per_bscan=8,
+                     bscans_per_buffer=8, bit_depth=12)
+    raw_p = np.random.default_rng(11).integers(
+        0, 4095, size=pacq.buffer_shape).astype(np.uint16)
+    plo, phi = local_bscan_range(pacq, mesh)
+    wire_local = native.pack_uint12(raw_p[plo:phi].reshape(-1))
+    arr = feed_wire_from_local(wire_local, pacq, mesh,
+                               pacq.samples_per_line * 3 // 2)
+    unpacked = jax.jit(unpack_uint12_rows)(arr)
+    block_p, start_p = local_block(unpacked)
+    np.testing.assert_array_equal(block_p, raw_p[start_p:start_p
+                                                 + block_p.shape[0]])
     print(f"multihost worker {pid}: parity OK", flush=True)
 
 
