@@ -256,16 +256,24 @@ def run_gloo_anchor(args, acq, cfg, out_path: str) -> dict:
                 raise RuntimeError(f"anchor worker failed: {e[-500:]}")
         return json.loads(outs[0][0].strip().splitlines()[-1])
 
-    one = launch(1, 2)   # 1 process x 2 devices — same machinery, no DCN
-    two = launch(2, 1)   # 2 processes x 1 device — gloo protocol on path
-    ratio = two["ascans_per_s"] / one["ascans_per_s"]
+    # ADJACENT pairs with a median-of-pairs ratio: host-load noise moves
+    # both runs of a pair together, so the per-pair ratio is robust where
+    # a single (one, two) comparison minutes apart is not
+    pairs = []
+    for _ in range(max(1, getattr(args, "pairs", 3))):
+        one = launch(1, 2)   # 1 process x 2 devices — no process boundary
+        two = launch(2, 1)   # 2 processes x 1 device — gloo on the path
+        pairs.append({"one_process_2dev": one, "two_process_gloo": two,
+                      "ratio": round(two["ascans_per_s"]
+                                     / one["ascans_per_s"], 3)})
+    ratios = sorted(p["ratio"] for p in pairs)
+    ratio = ratios[len(ratios) // 2]
     report = {
         "workload": {"samples": acq.samples_per_line,
                      "ascans": acq.ascans_per_bscan,
                      "bscans": acq.bscans_per_buffer, "iters": args.iters},
-        "one_process_2dev": one,
-        "two_process_gloo": two,
-        "measured_protocol_ratio": round(ratio, 3),
+        "pairs": pairs,
+        "measured_protocol_ratio": ratio,
         "note": "measured wall-clock ratio of the identical 2-device "
                 "global workload with vs without a real OS-process "
                 "boundary (jax.distributed + gloo over localhost, CPU "
@@ -290,6 +298,9 @@ def main():
                    help="measured 2-process gloo wall-clock anchor: the "
                         "same 2-device workload with vs without an OS "
                         "process boundary")
+    p.add_argument("--pairs", type=int, default=3,
+                   help="adjacent measurement pairs for --gloo-anchor "
+                        "(median-of-pairs ratio)")
     p.add_argument("--compute-ms", type=float, default=1.463,
                    help="hardware-measured single-chip ms/buffer for the "
                         "traffic model (default: BENCH_r03 headline)")

@@ -438,10 +438,34 @@ def cmd_process(args) -> int:
                         else args.max_buffers)
         read_buffer = src.read_buffer
 
+    # batch-mode extension fan-out: plugins loaded with --plugins must
+    # observe the stream here too, not only under `replay` (raw before
+    # upload, processed after — quantized at the acquisition bit depth,
+    # the same contract the streaming engine's consumer stream uses)
+    exts = ctx.extensions
+    want_raw = any(e.active and e.wants_raw_data
+                   for e in exts.extensions.values())
+    want_proc = any(e.active and e.wants_processed_data
+                    for e in exts.extensions.values())
+    if want_proc:
+        import jax as _jax
+
+        from .ops import quantize as _quantize
+
+        _quant = _jax.jit(lambda x: _quantize.quantize(x, acq.bit_depth))
+
     t0 = time.perf_counter()
     outs = []
     for i in range(n_buffers):
-        outs.append(model.process_buffer(jnp.asarray(read_buffer(i))))
+        raw_i = read_buffer(i)
+        if want_raw:
+            exts.feed_raw(np.asarray(raw_i), acq, i % max(
+                acq.buffers_per_volume, 1))
+        outs.append(model.process_buffer(jnp.asarray(raw_i)))
+        if want_proc:
+            exts.feed_processed(np.asarray(_quant(outs[-1])), acq,
+                                acq.bit_depth,
+                                i % max(acq.buffers_per_volume, 1))
     volume = np.concatenate([np.asarray(o) for o in outs], axis=0)
     dt = time.perf_counter() - t0
     ascans = n_buffers * acq.ascans_per_buffer
@@ -545,6 +569,8 @@ def cmd_replay(args) -> int:
                "bscans_per_s": round(stats.bscans_per_s, 1),
                "volumes_per_s": round(stats.volumes_per_s, 4),
                "mb_per_s": round(stats.mb_per_s, 1),
+               "wire_mb_per_s": round(stats.wire_mb_per_s, 1),
+               "wire_mb": round(stats.wire_mb, 1),
                "buffers_processed": stats.buffers_processed}
         windows.append(rec)
         if metrics_fh:

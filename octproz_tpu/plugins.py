@@ -230,10 +230,13 @@ def discover_entry_point_plugins(ctx: PluginContext,
                                  group: str = ENTRY_POINT_GROUP) -> List[str]:
     """Load every installed entry-point plugin; returns the names loaded.
 
-    A distribution that fails to load is reported (stderr via the context's
-    loaded log caller) but must not take the session down — matching the
-    reference's per-plugin load-failure tolerance (octprozapp.cpp:170-173).
+    A distribution that fails to load (import error, broken factory) is
+    reported on stderr and SKIPPED — one bad installed package must not
+    take every session down, matching the reference's per-plugin
+    load-failure tolerance (octprozapp.cpp:170-173).  Explicit ``--plugins``
+    specs stay loud (load_plugin raises): the user asked for that one.
     """
+    import sys
     from importlib import metadata
 
     eps = metadata.entry_points()
@@ -241,7 +244,12 @@ def discover_entry_point_plugins(ctx: PluginContext,
            else eps.get(group, []))
     names = []
     for ep in sel:
-        _register_target(ep.load(), ctx, f"{group}:{ep.name}")
+        try:
+            _register_target(ep.load(), ctx, f"{group}:{ep.name}")
+        except Exception as e:
+            print(f"plugin entry point '{ep.name}' failed to load and was "
+                  f"skipped: {type(e).__name__}: {e}", file=sys.stderr)
+            continue
         names.append(ep.name)
     return names
 

@@ -335,9 +335,10 @@ class StreamingEngine:
         self.upload_prefetch = upload_prefetch and not model.is_multihost
         # "packed12": the source yields packed-12-bit wire buffers
         # (uint8, 1.5 bytes/sample); they cross the link packed and are
-        # unpacked on device (model.put_packed_buffer).  Raw-side
-        # subscribers and the raw recorder then see the PACKED wire bytes
-        # — the honest raw record of what the digitizer delivered.
+        # unpacked on device (model.put_packed_buffer).  The raw RECORDER
+        # keeps the packed wire bytes verbatim (the honest record of what
+        # the digitizer delivered); raw-data EXTENSIONS receive unpacked
+        # sample values (see the run-loop fan-out).
         if wire_format not in ("uint16", "packed12"):
             raise ValueError("wire_format must be 'uint16' or 'packed12'")
         self.wire_format = wire_format

@@ -264,7 +264,8 @@ function makeView(cname, iname){
 const bview = makeView('bscanC','bscan'), eview = makeView('enfaceC','enface');
 // ---- interactive 3-D volume view (GLWindow3D analog: trackball rotation
 //      + per-frame mode uniforms via POST /render) ----
-const vstate = {yaw: 0.5, pitch: 0.4, seeded: false, posting: false};
+const vstate = {yaw: 0.5, pitch: 0.4, seeded: false, posting: false,
+                pendYaw: 0, pendPitch: 0};
 async function postRender(obj){
   if (vstate.posting) return null;       // one in-flight raycast at a time
   vstate.posting = true;
@@ -275,7 +276,17 @@ async function postRender(obj){
       document.getElementById('volume').src = '/volume.png?' + Date.now(); }
     return r;
   } catch(e){ return null; }
-  finally { vstate.posting = false; }
+  finally {
+    vstate.posting = false;
+    // pointer motion accumulated while this raycast was in flight is not
+    // lost: flush it as the next rotation post
+    if (vstate.pendYaw || vstate.pendPitch){
+      const dy = vstate.pendYaw, dp = vstate.pendPitch;
+      vstate.pendYaw = vstate.pendPitch = 0;
+      postRender({yaw: vstate.yaw + dy,
+        pitch: Math.max(-1.5, Math.min(1.5, vstate.pitch + dp))});
+    }
+  }
 }
 function applyRender(){
   postRender({mode: val('vmode'),
@@ -315,7 +326,14 @@ async function seedRender(){
     const dy = e.clientX - drag.x, dp = e.clientY - drag.y;
     if (!dy && !dp) return;
     drag = {x: e.clientX, y: e.clientY};
-    // trackball sensitivity ~0.008 rad/px; pitch clamped near the poles
+    // trackball sensitivity ~0.008 rad/px; pitch clamped near the poles.
+    // While a raycast is in flight the delta ACCUMULATES (postRender
+    // flushes it on completion) so rotation tracks total drag travel
+    // regardless of raycast latency.
+    if (vstate.posting){
+      vstate.pendYaw += dy*0.008; vstate.pendPitch += dp*0.008;
+      return;
+    }
     postRender({yaw: vstate.yaw + dy*0.008,
       pitch: Math.max(-1.5, Math.min(1.5, vstate.pitch + dp*0.008))});
   });
@@ -475,11 +493,17 @@ setInterval(tick, 250); tick();
 
 
 def _jsonable(obj):
-    """Dataclass / numpy / scalar -> JSON-serializable structure."""
+    """Dataclass / numpy / dict / scalar -> JSON-serializable structure.
+
+    Recurses into dicts too: a get_output() returning numpy values nested
+    under 'scalars'/'series' (the natural product of numpy analysis) must
+    serialize, not 500 the pane."""
     import dataclasses as _dc
 
     if _dc.is_dataclass(obj) and not isinstance(obj, type):
         return {k: _jsonable(v) for k, v in _dc.asdict(obj).items()}
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
     if isinstance(obj, np.ndarray):
         return obj.tolist()
     if isinstance(obj, (np.integer, np.floating)):
@@ -756,7 +780,10 @@ class LiveView:
         if (self._assembler is not None
                 and now - self._last_volume_render >= self.volume_throttle_s):
             self._last_volume_render = now
-            volume_png = self._render_assembled_volume()
+            # block=False: this runs on the ENGINE loop thread — if an HTTP
+            # /render raycast is in flight, skip this refresh rather than
+            # stall the stream behind it (the next throttle tick retries)
+            volume_png = self._render_assembled_volume(block=False)
 
         with self._lock:
             self._bscan_png, self._enface_png = bscan_png, enface_png
@@ -780,34 +807,38 @@ class LiveView:
             self._cpu_dev = cpu_device()
         return self._cpu_dev
 
-    def _render_assembled_volume(self) -> Optional[bytes]:
+    def _render_assembled_volume(self, block: bool = True) -> Optional[bytes]:
         """Raycast the assembler's current (possibly partial) volume —
         updateDisplayedVolume + 80 ms-throttled redraw analog
         (cuda_code.cu:914-941, glwindow3d.cpp:316-323) — under the LIVE
         view state (trackball yaw/pitch + per-frame mode uniforms,
         glwindow3d.cpp:300-360).  Runs on the CPU backend, NOT the session
-        accelerator."""
+        accelerator.  ``block=False`` (the engine-loop caller) skips the
+        render when an interactive raycast already holds the lock."""
         from .render import RenderMode, RenderParams, render_volume
 
+        if not self._render_lock.acquire(blocking=block):
+            return None
         try:
             with self._lock:
                 st = dict(self._render_state)
             lut = (builtin_lut(st["lut"]) if st.get("lut")
                    and st["lut"] != "gray" else None)
-            with self._render_lock:  # one raycast at a time (HTTP + engine)
-                img = render_volume(
-                    self._assembler.volume,
-                    RenderParams(mode=RenderMode(st["mode"]),
-                                 step_length=float(st["step_length"]),
-                                 threshold=float(st["threshold"]),
-                                 gamma=float(st["gamma"])),
-                    yaw=float(st["yaw"]), pitch=float(st["pitch"]),
-                    out_shape=(self.volume_size, self.volume_size),
-                    lut=lut,
-                    device=self._cpu_device())
+            img = render_volume(
+                self._assembler.volume,
+                RenderParams(mode=RenderMode(st["mode"]),
+                             step_length=float(st["step_length"]),
+                             threshold=float(st["threshold"]),
+                             gamma=float(st["gamma"])),
+                yaw=float(st["yaw"]), pitch=float(st["pitch"]),
+                out_shape=(self.volume_size, self.volume_size),
+                lut=lut,
+                device=self._cpu_device())
             return _encode_png(to_uint8(np.clip(img, 0.0, 1.0)))
         except Exception:  # rendering must never kill the stream
             return None
+        finally:
+            self._render_lock.release()
 
     def render_state(self) -> dict:
         from .render import RenderMode
@@ -923,8 +954,13 @@ class LiveView:
         if callable(get):
             try:
                 result = get()
+                if result is not None and not isinstance(result, dict):
+                    raise TypeError(
+                        f"get_output must return a dict, got "
+                        f"{type(result).__name__}")
             except Exception as e:  # a broken pane must not 500 the viewer
                 out["error"] = f"get_output failed: {e}"
+                result = None
         if result is None and "error" not in out:
             result = self._legacy_output(ext)
         for k, v in (result or {}).items():

@@ -32,6 +32,28 @@ ARTICLE = 12356705  # README.md:70-72
 API = f"https://api.figshare.com/v2/articles/{ARTICLE}"
 
 
+def _download(url: str, dest: str) -> None:
+    """Chunked download with a socket timeout: a stalled connection fails
+    loudly instead of hanging forever; partial files are removed so the
+    next run restarts cleanly."""
+    tmp = dest + ".part"
+    try:
+        with urllib.request.urlopen(url, timeout=120) as r, \
+                open(tmp, "wb") as out:
+            while True:
+                chunk = r.read(1 << 22)
+                if not chunk:
+                    break
+                out.write(chunk)
+        os.replace(tmp, dest)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def _hash_file(path: str):
     md5, sha = hashlib.md5(), hashlib.sha256()
     with open(path, "rb") as f:
@@ -67,7 +89,7 @@ def main() -> int:
                 or os.path.getsize(dest) != f["size"]:
             print(f"downloading {f['name']} ({f['size'] / 1e6:.1f} MB)...",
                   file=sys.stderr)
-            urllib.request.urlretrieve(f["download_url"], dest)
+            _download(f["download_url"], dest)
         md5, sha = _hash_file(dest)
         want = f.get("computed_md5")
         if want and md5 != want:

@@ -359,7 +359,8 @@ def test_third_party_extension_pane_zero_viewer_edits(tmp_path):
 
 
 def test_extension_get_output_failure_is_contained(tmp_path):
-    """A get_output that raises yields an error field, not a dead pane."""
+    """A get_output that raises, or returns a non-dict, yields an error
+    field — not a dead pane or a handler 500."""
     from octproz_tpu.plugins import Extension
 
     class BrokenExtension(Extension):
@@ -368,14 +369,47 @@ def test_extension_get_output_failure_is_contained(tmp_path):
         def get_output(self):
             raise RuntimeError("boom")
 
+    class ListExtension(Extension):
+        name = "listy"
+
+        def get_output(self):
+            return [1, 2, 3]  # protocol misuse: must be a dict
+
     eng, live = _engine_with_live(tmp_path)
     try:
-        ext = BrokenExtension()
+        for ext in (BrokenExtension(), ListExtension()):
+            eng.extensions.add(ext)
+            ext.activate()
+        _, _, body = _get(live.url + "extension.json?name=broken")
+        assert "boom" in json.loads(body)["error"]
+        _, _, body = _get(live.url + "extension.json?name=listy")
+        assert "must return a dict" in json.loads(body)["error"]
+    finally:
+        live.close()
+
+
+def test_extension_output_serializes_numpy(tmp_path):
+    """numpy scalars/arrays nested in get_output()'s dicts — the natural
+    product of numpy analysis — must serialize, not 500 the pane."""
+    from octproz_tpu.plugins import Extension
+
+    class NumpyExtension(Extension):
+        name = "numpy-out"
+
+        def get_output(self):
+            return {"scalars": {"mean": np.float32(3.25),
+                                "count": np.int64(7)},
+                    "series": {"profile": np.linspace(0, 1, 4)}}
+
+    eng, live = _engine_with_live(tmp_path)
+    try:
+        ext = NumpyExtension()
         eng.extensions.add(ext)
         ext.activate()
-        _, _, body = _get(live.url + "extension.json?name=broken")
+        _, _, body = _get(live.url + "extension.json?name=numpy-out")
         out = json.loads(body)
-        assert "boom" in out["error"]
+        assert out["scalars"] == {"mean": 3.25, "count": 7}
+        assert out["series"]["profile"] == [0.0, 1 / 3, 2 / 3, 1.0]
     finally:
         live.close()
 

@@ -142,6 +142,93 @@ def test_entry_point_discovery():
         sys.meta_path.pop()
 
 
+def test_entry_point_failure_is_contained(capsys):
+    """One broken installed distribution must not take the session down
+    (octprozapp.cpp:170-173 tolerance): the bad entry point is skipped
+    loudly, good ones still load."""
+    from importlib import metadata
+
+    class Dist(metadata.Distribution):
+        def __init__(self, name, target):
+            self._name, self._target = name, target
+
+        def read_text(self, filename):
+            if filename == "METADATA":
+                return f"Metadata-Version: 2.1\nName: {self._name}\n" \
+                       "Version: 1.0\n"
+            if filename == "entry_points.txt":
+                return (f"[{ENTRY_POINT_GROUP}]\n"
+                        f"{self._name} = {self._target}\n")
+            return None
+
+        def locate_file(self, path):
+            return path
+
+    class Finder:
+        def find_distributions(self, context=None):
+            return [Dist("badplug", "module_that_does_not_exist:thing"),
+                    Dist("goodplug", "myoct_plugin:octproz_plugin")]
+
+    sys.meta_path.append(Finder())
+    try:
+        ctx = _ctx()
+        names = discover_entry_point_plugins(ctx)
+        assert names == ["goodplug"]
+        assert "ramp" in ctx.systems.names
+        assert "failed to load and was skipped" in capsys.readouterr().err
+    finally:
+        sys.meta_path.pop()
+
+
+def test_cli_process_feeds_loaded_extensions(tmp_path, capsys):
+    """`process --plugins` must FEED the loaded extensions, not just
+    announce them (review r5): a plugin extension that records its calls
+    to a file observes both raw and processed buffers."""
+    import numpy as np
+
+    from octproz_tpu.cli import main
+
+    sentinel = tmp_path / "calls.txt"
+    pkg = tmp_path / "procplug.py"
+    pkg.write_text(f"""
+from octproz_tpu.plugins import Extension
+
+class Counter(Extension):
+    name = "counter"
+    wants_raw_data = True
+    wants_processed_data = True
+
+    def raw_data_received(self, buffer, bit_depth, *rest):
+        with open({str(sentinel)!r}, "a") as f:
+            f.write(f"raw {{buffer.shape}} {{bit_depth}}\\n")
+
+    def processed_data_received(self, buffer, bit_depth, *rest):
+        with open({str(sentinel)!r}, "a") as f:
+            f.write(f"proc {{buffer.shape}} {{bit_depth}}\\n")
+
+octproz_plugin = Counter
+""")
+    raw = np.random.default_rng(0).integers(
+        0, 4095, size=(2, 4, 8, 64)).astype(np.uint16)
+    raw_path = tmp_path / "in.raw"
+    raw.tofile(raw_path)
+    sys.path.insert(0, str(tmp_path))
+    try:
+        rc = main(["--platform", "cpu", "process", str(raw_path),
+                   "--samples", "64", "--ascans", "8", "--bscans", "4",
+                   "--plugins", "procplug", "--no-entry-point-plugins"])
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop("procplug", None)
+    assert rc == 0
+    lines = sentinel.read_text().strip().splitlines()
+    raws = [l for l in lines if l.startswith("raw")]
+    procs = [l for l in lines if l.startswith("proc")]
+    assert len(raws) == 2 and len(procs) == 2
+    assert "(4, 8, 64) 12" in raws[0]
+    assert "(4, 8, 32) 12" in procs[0]
+
+
 def test_settings_file_plugins_group(tmp_path):
     """[plugins] load= in the settings INI is parsed into the bundle."""
     from octproz_tpu.utils.configmap import from_settings
