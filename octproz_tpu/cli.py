@@ -781,6 +781,13 @@ def cmd_info(args) -> int:
 
     print(f"octproz_tpu {__version__}")
     print(format_report())
+    # registry report (SystemChooser / extension-list analog): built-ins
+    # plus everything runtime plugin discovery found
+    ctx = _plugin_context(args, _load_bundle(args))
+    print("acquisition systems: "
+          + (", ".join(ctx.systems.names) or "none"))
+    print("extensions: "
+          + (", ".join(sorted(ctx.extensions.extensions)) or "none"))
     return 0
 
 
@@ -949,7 +956,15 @@ def build_parser() -> argparse.ArgumentParser:
     _add_proc_args(pset)
     pset.set_defaults(fn=cmd_settings)
 
-    pi = sub.add_parser("info", help="device + version report")
+    pi = sub.add_parser("info", help="device + version report, plus the "
+                                     "registered acquisition systems and "
+                                     "extensions (built-in + plugins)")
+    pi.add_argument("--settings", default=None,
+                    help="settings INI (enables [plugins] load= discovery)")
+    pi.add_argument("--plugins", action="append", default=None,
+                    metavar="PKG.MOD[:FACTORY]")
+    pi.add_argument("--no-entry-point-plugins", action="store_true",
+                    default=False)
     pi.set_defaults(fn=cmd_info)
 
     pb = sub.add_parser("bench", help="run the headline benchmark")

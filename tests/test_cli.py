@@ -106,8 +106,12 @@ def test_bad_reshape_clean_error(tmp_path, capsys):
 
 
 def test_info_runs(capsys):
-    assert main(["info"]) == 0
-    assert "octproz_tpu" in capsys.readouterr().out
+    assert main(["info", "--no-entry-point-plugins"]) == 0
+    out = capsys.readouterr().out
+    assert "octproz_tpu" in out
+    # registry report: built-in systems + (none) extensions visible
+    assert "acquisition systems: phytooct" in out
+    assert "extensions:" in out
 
 
 def test_process_with_mesh(tmp_path, capsys):
