@@ -243,18 +243,41 @@ def run_gloo_anchor(args, acq, cfg, out_path: str) -> dict:
            "--iters", str(args.iters)]
 
     def launch(num_processes: int, devices_per_proc: int):
+        """Run one coordinated measurement; stderr goes to temp FILES, not
+        pipes — draining coordinated workers sequentially over PIPEs can
+        deadlock (worker 1 blocks on a full stderr pipe before reaching the
+        gloo barrier worker 0 is waiting at)."""
+        import tempfile
+
         port = free_port()
-        procs = [subprocess.Popen(
-            [sys.executable, script, "--coordinator", f"127.0.0.1:{port}",
-             "--num-processes", str(num_processes), "--process-id", str(i),
-             "--cpu-devices", str(devices_per_proc)] + geo,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
-            for i in range(num_processes)]
-        outs = [p.communicate(timeout=600) for p in procs]
-        for p, (o, e) in zip(procs, outs):
+        procs, errs = [], []
+        for i in range(num_processes):
+            ef = tempfile.TemporaryFile(mode="w+")
+            errs.append(ef)
+            procs.append(subprocess.Popen(
+                [sys.executable, script, "--coordinator",
+                 f"127.0.0.1:{port}",
+                 "--num-processes", str(num_processes),
+                 "--process-id", str(i),
+                 "--cpu-devices", str(devices_per_proc)] + geo,
+                stdout=subprocess.PIPE, stderr=ef, text=True))
+        try:
+            outs = [p.communicate(timeout=600)[0] for p in procs]
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            raise RuntimeError(
+                "gloo anchor worker timed out (coordination stall)")
+        finally:
+            tails = []
+            for ef in errs:
+                ef.seek(0)
+                tails.append(ef.read()[-500:])
+                ef.close()
+        for p, tail in zip(procs, tails):
             if p.returncode != 0:
-                raise RuntimeError(f"anchor worker failed: {e[-500:]}")
-        return json.loads(outs[0][0].strip().splitlines()[-1])
+                raise RuntimeError(f"anchor worker failed: {tail}")
+        return json.loads(outs[0].strip().splitlines()[-1])
 
     # ADJACENT pairs with a median-of-pairs ratio: host-load noise moves
     # both runs of a pair together, so the per-pair ratio is robust where

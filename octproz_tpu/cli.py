@@ -770,6 +770,13 @@ def cmd_settings(args) -> int:
                           source_kwargs=_source_kwargs(args, bundle),
                           streaming=bundle.streaming or None,
                           recording=bundle.recording or None)
+    # plugin specs round-trip too: base-file [plugins] load= merged with
+    # any --plugins flags (the save/load asymmetry would otherwise
+    # silently drop exactly the key the loader reads)
+    plugin_specs = list(bundle.plugins) + [
+        s for s in (a.get("plugins") or []) if s not in bundle.plugins]
+    if plugin_specs:
+        sm.set_group("plugins", {"load": ", ".join(plugin_specs)})
     sm.save()
     print(f"wrote {args.path}", file=sys.stderr)
     return 0

@@ -143,34 +143,64 @@ class FdOctModel:
 
     def _put_packed_mesh(self, packed) -> jax.Array:
         """Sharded packed-12 feed: wire bytes cross the link sharded on
-        B-scan boundaries and unpack shard-locally on the mesh."""
-        acq = self.acq
-        if acq.samples_per_line % 256:
-            raise ValueError(
-                f"packed-12 on a mesh needs samples_per_line to be a "
-                f"multiple of 256 (got {acq.samples_per_line}): the "
-                f"lane-aligned unpack rows are 256 samples")
-        bpl = acq.samples_per_line * 3 // 2
-        from ..parallel import buffer_pspec
+        B-scan boundaries and unpack shard-locally on the mesh.
 
-        sharding = jax.sharding.NamedSharding(self.mesh,
-                                              buffer_pspec(self.mesh))
-        if not hasattr(self, "_unpack_mesh_jit"):
+        Two granularities (the lane-aligned unpack consumes 384-byte rows
+        = 256 samples, ops.convert.unpack_uint12_rows):
+
+        * per-LINE (samples_per_line % 256 == 0): the wire is
+          (bscans, ascans, 1.5*samples) under the full buffer sharding —
+          zero collectives even with the A-scan axis sharded.
+        * per-B-SCAN fallback (whole-B-scan bytes are row-aligned —
+          covers e.g. the figshare 1664-sample geometry): the wire is
+          (bscans, ascans*1.5*samples) sharded on the B-scan axes only;
+          after the shard-local unpack, GSPMD reshards onto the full
+          buffer spec (a collective ONLY when the mesh has an A-scan
+          axis > 1).
+        """
+        acq = self.acq
+        per_line = acq.samples_per_line % 256 == 0
+        bscan_bytes = acq.ascans_per_bscan * acq.samples_per_line * 3 // 2
+        if not per_line and bscan_bytes % 384:
+            raise ValueError(
+                f"packed-12 on a mesh needs samples_per_line "
+                f"({acq.samples_per_line}) or a whole B-scan's samples "
+                f"({acq.ascans_per_bscan * acq.samples_per_line}) to be a "
+                f"multiple of 256 (lane-aligned 384-byte unpack rows)")
+        bpl = acq.samples_per_line * 3 // 2
+        from ..parallel import buffer_pspec, wire_bscan_pspec
+
+        buf_sharding = jax.sharding.NamedSharding(self.mesh,
+                                                  buffer_pspec(self.mesh))
+        key = "_unpack_mesh_jit" if per_line else "_unpack_mesh_bscan_jit"
+        if not hasattr(self, key):
             from ..ops.convert import unpack_uint12_rows
 
-            self._unpack_mesh_jit = jax.jit(unpack_uint12_rows,
-                                            out_shardings=sharding)
+            if per_line:
+                fn = unpack_uint12_rows
+            else:
+                def fn(p):  # (bscans, ascans*bpl) -> (bscans, a, samples)
+                    flat = unpack_uint12_rows(p)
+                    return flat.reshape(acq.bscans_per_buffer,
+                                        acq.ascans_per_bscan,
+                                        acq.samples_per_line)
+            setattr(self, key, jax.jit(fn, out_shardings=buf_sharding))
         wire = np.asarray(packed, np.uint8)
+        wire_shape = ((acq.bscans_per_buffer, acq.ascans_per_bscan, bpl)
+                      if per_line
+                      else (acq.bscans_per_buffer, bscan_bytes))
         if self.is_multihost:
             from ..parallel import multihost as _mh
 
-            arr = _mh.feed_wire_from_local(wire, acq, self.mesh, bpl)
+            arr = _mh.feed_wire_from_local(wire, acq, self.mesh,
+                                           per_line=per_line)
         else:
+            spec = (buffer_pspec(self.mesh) if per_line
+                    else wire_bscan_pspec(self.mesh))
             arr = jax.device_put(
-                jnp.asarray(wire.reshape(acq.bscans_per_buffer,
-                                         acq.ascans_per_bscan, bpl)),
-                sharding)
-        return self._unpack_mesh_jit(arr)
+                jnp.asarray(wire.reshape(wire_shape)),
+                jax.sharding.NamedSharding(self.mesh, spec))
+        return getattr(self, key)(arr)
 
     def fetch(self, arr) -> np.ndarray:
         """D2H fetch of a processed buffer: the full array on a single host,

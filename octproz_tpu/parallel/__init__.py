@@ -9,9 +9,11 @@ from .sharding import (  # noqa: F401
     make_mesh,
     make_sharded_step,
     sharded_process_buffer,
+    wire_bscan_pspec,
 )
 from .multihost import (  # noqa: F401
     feed_from_local,
+    feed_wire_from_local,
     fetch,
     initialize,
     local_block,

@@ -178,18 +178,27 @@ def feed_from_local(raw_local: np.ndarray, acq: AcqParams,
 
 
 def feed_wire_from_local(wire_local: np.ndarray, acq: AcqParams,
-                         mesh: Mesh, bytes_per_line: int) -> jax.Array:
+                         mesh: Mesh, per_line: bool = True) -> jax.Array:
     """Commit this host's packed-12 WIRE bytes as its shard of the global
     wire buffer — the packed analog of :func:`feed_from_local` (packing is
     line-local, so a B-scan block's wire bytes are self-contained).
 
-    ``wire_local``: uint8, either flat or (local_bscans, ascans,
-    bytes_per_line).  Returns the GLOBAL (bscans, ascans, bytes_per_line)
-    uint8 array sharded per ``buffer_pspec``.
+    ``per_line=True``: global shape (bscans, ascans, 1.5*samples) under
+    ``buffer_pspec``.  ``per_line=False`` (line length not 256-sample
+    aligned): global shape (bscans, bytes_per_bscan) under
+    ``wire_bscan_pspec`` — see models/fdoct._put_packed_mesh.
+    ``wire_local`` is this host's flat (or shaped) local B-scan block.
     """
-    sharding = NamedSharding(mesh, buffer_pspec(mesh))
+    from .sharding import wire_bscan_pspec
+
+    bpl = acq.samples_per_line * 3 // 2
     start, stop = local_bscan_range(acq, mesh)
-    local_shape = (stop - start, acq.ascans_per_bscan, bytes_per_line)
+    if per_line:
+        sharding = NamedSharding(mesh, buffer_pspec(mesh))
+        local_shape = (stop - start, acq.ascans_per_bscan, bpl)
+    else:
+        sharding = NamedSharding(mesh, wire_bscan_pspec(mesh))
+        local_shape = (stop - start, acq.ascans_per_bscan * bpl)
     global_shape = (acq.bscans_per_buffer,) + local_shape[1:]
     wire_local = np.asarray(wire_local, np.uint8).reshape(local_shape)
     if jax.process_count() == 1:

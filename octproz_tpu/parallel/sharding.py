@@ -109,6 +109,16 @@ def buffer_pspec(mesh: Mesh) -> P:
     return P(AXIS_BSCAN, AXIS_ASCAN, None)
 
 
+def wire_bscan_pspec(mesh: Mesh) -> P:
+    """PartitionSpec of a B-scan-granular packed wire buffer
+    ((bscans, bytes_per_bscan)): B-scan axes sharded, byte axis whole —
+    the fallback wire layout when line lengths aren't 256-sample aligned
+    (models/fdoct._put_packed_mesh)."""
+    if AXIS_HOST in mesh.axis_names:
+        return P((AXIS_HOST, AXIS_BSCAN), None)
+    return P(AXIS_BSCAN, None)
+
+
 def _mesh_axes(mesh: Mesh) -> Tuple[str, ...]:
     return tuple(mesh.axis_names)
 

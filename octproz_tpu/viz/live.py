@@ -429,7 +429,10 @@ async function showExtensionOutput(name){
       const c = document.createElement('canvas');
       c.width = 420; c.height = 100; pane.appendChild(c);
       const g = c.getContext('2d');
-      const mx = Math.max(...arr), mn = Math.min(Math.min(...arr), 0);
+      // reduce, not spread: Math.max(...arr) throws RangeError past the
+      // engine's argument-count limit (~65k) on long series
+      const mx = arr.reduce((a, b) => b > a ? b : a, -Infinity);
+      const mn = Math.min(arr.reduce((a, b) => b < a ? b : a, Infinity), 0);
       const w = c.width / arr.length;
       g.fillStyle = '#4a8';
       arr.forEach((h, i) => {
@@ -506,11 +509,15 @@ def _jsonable(obj):
         return {k: _jsonable(v) for k, v in obj.items()}
     if isinstance(obj, np.ndarray):
         return obj.tolist()
-    if isinstance(obj, (np.integer, np.floating)):
+    if isinstance(obj, np.generic):
+        # EVERY numpy scalar — np.bool_ is neither np.integer nor
+        # np.floating and json.dumps rejects it
         return obj.item()
     if isinstance(obj, (list, tuple)):
         return [_jsonable(v) for v in obj]
-    return obj
+    if obj is None or isinstance(obj, (bool, int, float, str)):
+        return obj
+    return repr(obj)  # last resort: never hand json.dumps a live object
 
 
 def _encode_png(img_u8: np.ndarray) -> bytes:
@@ -580,6 +587,10 @@ class LiveView:
         self._render_state = {"mode": volume_mode, "yaw": 0.5, "pitch": 0.4,
                               "threshold": 0.25, "gamma": 2.0,
                               "step_length": 0.02, "lut": lut}
+        # LUT array computed ONCE per selection (set_render), not per
+        # raycast — the render path runs every throttle tick and drag
+        self._volume_lut = (builtin_lut(lut) if lut and lut != "gray"
+                            else None)
         self._render_lock = threading.Lock()
         # optional sample-view camera pane (/camera.png)
         self._camera = None
@@ -822,8 +833,7 @@ class LiveView:
         try:
             with self._lock:
                 st = dict(self._render_state)
-            lut = (builtin_lut(st["lut"]) if st.get("lut")
-                   and st["lut"] != "gray" else None)
+                lut = self._volume_lut
             img = render_volume(
                 self._assembler.volume,
                 RenderParams(mode=RenderMode(st["mode"]),
@@ -858,12 +868,15 @@ class LiveView:
         from .render import RenderMode
 
         updates = {}
+        lut_array = sentinel = object()
         if "mode" in msg:
             updates["mode"] = RenderMode(str(msg["mode"])).value
         if "lut" in msg:
             lut = msg["lut"] or None
-            if lut:
-                builtin_lut(lut)  # validate the name loudly
+            # validate loudly AND compute once here — the raycast path
+            # reuses the cached array every frame
+            lut_array = (builtin_lut(lut) if lut and lut != "gray"
+                         else None)
             updates["lut"] = lut
         for key in ("yaw", "pitch", "threshold", "gamma", "step_length"):
             if key in msg:
@@ -875,6 +888,8 @@ class LiveView:
                                          0.2)
         with self._lock:
             self._render_state.update(updates)
+            if lut_array is not sentinel:
+                self._volume_lut = lut_array
         if self._assembler is not None:
             png = self._render_assembled_volume()
             if png is not None:
@@ -964,6 +979,10 @@ class LiveView:
         if result is None and "error" not in out:
             result = self._legacy_output(ext)
         for k, v in (result or {}).items():
+            if k in ("name", "active", "error"):
+                # reserved pane metadata — an extension's own status field
+                # must not masquerade as a viewer-level failure/state
+                k = f"ext_{k}"
             out[k] = _jsonable(v)
         return out
 

@@ -139,8 +139,7 @@ def main() -> None:
         0, 4095, size=pacq.buffer_shape).astype(np.uint16)
     plo, phi = local_bscan_range(pacq, mesh)
     wire_local = native.pack_uint12(raw_p[plo:phi].reshape(-1))
-    arr = feed_wire_from_local(wire_local, pacq, mesh,
-                               pacq.samples_per_line * 3 // 2)
+    arr = feed_wire_from_local(wire_local, pacq, mesh, per_line=True)
     unpacked = jax.jit(unpack_uint12_rows)(arr)
     block_p, start_p = local_block(unpacked)
     np.testing.assert_array_equal(block_p, raw_p[start_p:start_p

@@ -240,6 +240,23 @@ def test_settings_file_plugins_group(tmp_path):
     assert b.plugins == ["myoct_plugin", "other.mod:factory"]
 
 
+def test_settings_save_round_trips_plugins(tmp_path, capsys):
+    """`settings save --plugins X` writes [plugins] load= so the saved
+    file reproduces the plugin set on load (review r5: the save/load
+    round-trip was asymmetric for exactly this key)."""
+    from octproz_tpu.cli import main
+    from octproz_tpu.utils.configmap import from_settings
+    from octproz_tpu.utils.settings import SettingsManager
+
+    ini = tmp_path / "s.ini"
+    rc = main(["--platform", "cpu", "settings", "save", str(ini),
+               "--samples", "64", "--ascans", "8", "--bscans", "2",
+               "--plugins", "myoct_plugin", "--no-entry-point-plugins"])
+    assert rc == 0
+    b = from_settings(SettingsManager(str(ini)))
+    assert b.plugins == ["myoct_plugin"]
+
+
 def test_cli_replay_with_plugin_system(tmp_path, capsys):
     """End-to-end CLI: --plugins loads the package, system:ramp activates
     the third-party acquisition system, the stream runs."""

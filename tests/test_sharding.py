@@ -285,3 +285,43 @@ def test_streaming_engine_packed12_on_mesh(rng):
                           on_processed=lambda b, nr: got.append(np.array(b)))
     assert eng.run() == 3
     assert len(got) == 3 and got[0].shape == acq.processed_buffer_shape
+
+
+def test_packed12_wire_on_mesh_nonaligned_line_length(rng):
+    """B-scan-granular packed-wire fallback (review r5 #7): line lengths
+    that are NOT 256-sample aligned (e.g. the figshare dataset's 1664)
+    still ship packed on a mesh — the wire shards on B-scan axes only,
+    unpacks shard-locally, and GSPMD reshards onto the full buffer spec.
+    Exact parity vs the uint16 container path, A-scan-sharded mesh
+    included."""
+    import jax
+
+    from octproz_tpu import native
+    from octproz_tpu.models.fdoct import FdOctModel
+    from octproz_tpu.parallel import make_mesh
+
+    # 192 % 256 != 0, but a whole B-scan (4*192 = 768 samples) is aligned
+    acq = AcqParams(samples_per_line=192, ascans_per_bscan=4,
+                    bscans_per_buffer=8, buffers_per_volume=1, bit_depth=12)
+    cfg = ProcConfig(resampling=True, interpolation=Interpolation.LINEAR,
+                     windowing=True, fpn_mode=FpnMode.OFF, log_scaling=True)
+    kw = dict(resample_coeffs=(0.0, 191.0, 0.0, 0.0))
+    raw = rng.integers(0, 4095, size=acq.buffer_shape).astype(np.uint16)
+    packed = native.pack_uint12(raw.reshape(-1))
+
+    model = FdOctModel(acq, cfg, mesh=make_mesh(4, 2, devices=jax.devices()),
+                       **kw)
+    dev = model.put_packed_buffer(packed)
+    np.testing.assert_array_equal(np.asarray(dev), raw)
+    a = np.asarray(model.process_buffer(model.put_buffer(raw)))
+    b = np.asarray(model.process_buffer(model.put_packed_buffer(packed)))
+    np.testing.assert_array_equal(a, b)
+
+    # a geometry aligned at NEITHER granularity is rejected loudly
+    bad = AcqParams(samples_per_line=40, ascans_per_bscan=3,
+                    bscans_per_buffer=8, bit_depth=12)
+    bad_model = FdOctModel(bad, cfg, mesh=make_mesh(4, 1),
+                           resample_coeffs=(0.0, 39.0, 0.0, 0.0))
+    with pytest.raises(ValueError, match="multiple of 256"):
+        bad_model.put_packed_buffer(
+            native.pack_uint12(np.zeros(bad.samples_per_buffer, np.uint16)))
