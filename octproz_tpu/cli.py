@@ -737,6 +737,7 @@ def cmd_settings(args) -> int:
             "curves": enc(bundle.curve_kwargs),
             "streaming": enc(bundle.streaming),
             "record": enc(bundle.recording),
+            "plugins": bundle.plugins,
         }, indent=2, default=str))
         return 0
 
