@@ -388,6 +388,33 @@ def test_extension_get_output_failure_is_contained(tmp_path):
         live.close()
 
 
+def test_extension_output_reserved_keys_namespaced(tmp_path):
+    """An extension's own name/active/error keys must not clobber the
+    pane metadata: they come back as ext_*."""
+    from octproz_tpu.plugins import Extension
+
+    class StatusExtension(Extension):
+        name = "status"
+
+        def get_output(self):
+            return {"error": "fit diverged", "active": False,
+                    "scalars": {"ok": np.bool_(True)}}
+
+    eng, live = _engine_with_live(tmp_path)
+    try:
+        ext = StatusExtension()
+        eng.extensions.add(ext)
+        ext.activate()
+        _, _, body = _get(live.url + "extension.json?name=status")
+        out = json.loads(body)
+        assert out["active"] is True and "error" not in out
+        assert out["ext_error"] == "fit diverged"
+        assert out["ext_active"] is False
+        assert out["scalars"]["ok"] is True  # np.bool_ serialized
+    finally:
+        live.close()
+
+
 def test_extension_output_serializes_numpy(tmp_path):
     """numpy scalars/arrays nested in get_output()'s dicts — the natural
     product of numpy analysis — must serialize, not 500 the pane."""
