@@ -798,6 +798,7 @@ def main() -> None:
             detail = min(runs, key=lambda r: r["value"])
             value = detail["value"]
             oracle_db = detail.get("oracle_psnr_db")
+            golden_db = detail.get("golden_psnr_db")
             record["in_bound"] = {
                 "spec": in_spec,
                 "runs_mhz": [r["value"] for r in runs],
@@ -806,7 +807,12 @@ def main() -> None:
                 "target_mhz": IN_BOUND_TARGET_MHZ,
                 "snr_bound_db": IN_BOUND_SNR_DB,
                 "oracle_psnr_db": oracle_db,
-                "golden_psnr_db": detail.get("golden_psnr_db"),
+                "golden_psnr_db": golden_db,
+                # the golden pair runs the FULL chain (FPN included, the
+                # r5 tie-banded selection); its in-bound verdict makes the
+                # fidelity claim end-to-end, not FPN-off
+                "golden_within_bound": (None if golden_db is None else
+                                        bool(golden_db >= IN_BOUND_SNR_DB)),
                 "vs_baseline": round(value / BASELINE_MHZ, 3),
                 "meets_target": bool(
                     len(runs) >= 2 and value >= IN_BOUND_TARGET_MHZ
