@@ -796,6 +796,15 @@ def cmd_info(args) -> int:
           + (", ".join(ctx.systems.names) or "none"))
     print("extensions: "
           + (", ".join(sorted(ctx.extensions.extensions)) or "none"))
+    # about/acknowledgments (AboutDialog analog: version + third-party
+    # credits, octproz/src/aboutdialog.*)
+    print("license: MIT; capability reference: OCTproZ (spectralcode, "
+          "GPLv2 app / MIT DevKit) - independent TPU-native "
+          "implementation, no code shared")
+    import jax as _jax
+    import numpy as _np
+    print(f"third-party: jax {_jax.__version__}, numpy {_np.__version__} "
+          "(BSD-style licenses); optional Pillow for PNG export")
     return 0
 
 
